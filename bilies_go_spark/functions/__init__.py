@@ -1,0 +1,6 @@
+from bilies_go_spark.functions.tokenize import (  # noqa: F401
+    TOKEN_SPLIT_RE,
+    tokenize_col,
+    tokenize_pandas_udf,
+    tokenize_py,
+)

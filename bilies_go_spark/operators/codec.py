@@ -1,0 +1,203 @@
+"""Posting-list codec: delta-gap + VByte + block-max skip metadata.
+
+Pure numpy, no Spark imports — this is the byte-level format of one
+posting segment, invoked from inside ``applyInPandas`` stages.
+
+Layout mirrors the reference's ``IndexedBuffer`` shape — one contiguous
+byte buffer plus an offset index enabling O(1) addressing of a record
+range (/root/reference/indexedBuffer.go:27-71) — but columnar: three
+VByte streams (doc-id gaps, term frequencies, doc lengths) with
+per-block byte offsets and block maxima/minima for WAND skipping.
+
+VByte convention: little-endian 7-bit groups; the high bit (0x80) marks
+the TERMINATING byte of a value.  Encode/decode are fully vectorized
+(np.reduceat), no per-value Python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+DEFAULT_BLOCK_SIZE = 128
+
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def vbyte_encode(values: np.ndarray) -> np.ndarray:
+    """Encode a uint64 array to a VByte uint8 buffer (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    # bytes needed per value = 1 + number of thresholds <= value
+    nbytes = 1 + np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for j in range(max_nb):
+        mask = nbytes > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        out[starts[mask] + j] = chunk.astype(np.uint8)
+    # set terminator bit on the last byte of each value
+    out[ends - 1] |= 0x80
+    return out
+
+
+def vbyte_decode(buf: np.ndarray | bytes) -> np.ndarray:
+    """Decode a VByte buffer back to a uint64 array (vectorized)."""
+    b = np.frombuffer(bytes(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) != 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64)
+    # offset of each byte within its value
+    group_idx = np.cumsum(is_end) - is_end  # 0-based group id per byte
+    within = pos - starts[group_idx]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+@dataclass
+class PostingSegment:
+    """One encoded posting segment (the value side of a segment row)."""
+
+    n_docs: int
+    block_size: int
+    doc_gaps_vb: bytes
+    tfs_vb: bytes
+    dls_vb: bytes
+    block_last_doc_id: np.ndarray  # int64[n_blocks]
+    block_max_tf: np.ndarray  # int64[n_blocks]
+    block_min_dl: np.ndarray  # int64[n_blocks]
+    block_doc_off: np.ndarray  # int64[n_blocks] byte offset into doc_gaps_vb
+    block_tf_off: np.ndarray
+    block_dl_off: np.ndarray
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> PostingSegment:
+    """Encode one term's postings (doc_ids strictly increasing)."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    ln = np.ascontiguousarray(dls, dtype=np.int64)
+    n = d.size
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return PostingSegment(0, block_size, b"", b"", b"", e, e, e, e, e, e)
+    if n > 1 and not (d[1:] > d[:-1]).all():
+        raise ValueError("doc_ids must be strictly increasing")
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = d[0]
+    gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+    n_blocks = (n + block_size - 1) // block_size
+    bstarts = np.arange(n_blocks, dtype=np.int64) * block_size
+    bends = np.minimum(bstarts + block_size, n)
+
+    def _per_value_nbytes(vals: np.ndarray) -> np.ndarray:
+        return 1 + np.searchsorted(_THRESHOLDS, vals.astype(np.uint64), side="right")
+
+    doc_nb = _per_value_nbytes(gaps)
+    tf_nb = _per_value_nbytes(t)
+    dl_nb = _per_value_nbytes(ln)
+    # byte offset of each block start within each stream
+    doc_csum = np.concatenate([[0], np.cumsum(doc_nb)])
+    tf_csum = np.concatenate([[0], np.cumsum(tf_nb)])
+    dl_csum = np.concatenate([[0], np.cumsum(dl_nb)])
+    return PostingSegment(
+        n_docs=int(n),
+        block_size=block_size,
+        doc_gaps_vb=vbyte_encode(gaps).tobytes(),
+        tfs_vb=vbyte_encode(t.astype(np.uint64)).tobytes(),
+        dls_vb=vbyte_encode(ln.astype(np.uint64)).tobytes(),
+        block_last_doc_id=d[bends - 1].copy(),
+        block_max_tf=np.maximum.reduceat(t, bstarts),
+        block_min_dl=np.minimum.reduceat(ln, bstarts),
+        block_doc_off=doc_csum[bstarts],
+        block_tf_off=tf_csum[bstarts],
+        block_dl_off=dl_csum[bstarts],
+    )
+
+
+def decode_postings(seg: PostingSegment) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full segment -> (doc_ids int64, tfs int64, dls int64)."""
+    if seg.n_docs == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    gaps = vbyte_decode(np.frombuffer(seg.doc_gaps_vb, dtype=np.uint8))
+    doc_ids = np.cumsum(gaps.astype(np.int64))
+    tfs = vbyte_decode(np.frombuffer(seg.tfs_vb, dtype=np.uint8)).astype(np.int64)
+    dls = vbyte_decode(np.frombuffer(seg.dls_vb, dtype=np.uint8)).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_block(seg: PostingSegment, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only block ``i`` of a segment (WAND skip path).
+
+    Uses the per-block byte offsets — the ``IndexedBuffer.Slice``
+    analogue (/root/reference/indexedBuffer.go:55-59): address a
+    contiguous byte range by record range without touching the rest.
+    """
+    n_blocks = len(seg.block_last_doc_id)
+    if not 0 <= i < n_blocks:
+        raise IndexError(i)
+
+    def _slice(buf: bytes, offs: np.ndarray) -> np.ndarray:
+        start = int(offs[i])
+        end = int(offs[i + 1]) if i + 1 < n_blocks else len(buf)
+        return np.frombuffer(buf, dtype=np.uint8)[start:end]
+
+    gaps = vbyte_decode(_slice(seg.doc_gaps_vb, seg.block_doc_off)).astype(np.int64)
+    base = int(seg.block_last_doc_id[i - 1]) if i > 0 else 0
+    doc_ids = base + np.cumsum(gaps)
+    if i == 0:
+        # first gap of block 0 is absolute (base 0) by construction
+        pass
+    tfs = vbyte_decode(_slice(seg.tfs_vb, seg.block_tf_off)).astype(np.int64)
+    dls = vbyte_decode(_slice(seg.dls_vb, seg.block_dl_off)).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def segment_to_row(term: str, salt: int, seg: PostingSegment) -> dict:
+    """Flatten a PostingSegment into a dict matching SEGMENT_SCHEMA."""
+    return {
+        "term": term,
+        "salt": int(salt),
+        "n_docs": int(seg.n_docs),
+        "block_size": int(seg.block_size),
+        "doc_gaps_vb": seg.doc_gaps_vb,
+        "tfs_vb": seg.tfs_vb,
+        "dls_vb": seg.dls_vb,
+        "block_last_doc_id": [int(x) for x in seg.block_last_doc_id],
+        "block_max_tf": [int(x) for x in seg.block_max_tf],
+        "block_min_dl": [int(x) for x in seg.block_min_dl],
+        "block_doc_off": [int(x) for x in seg.block_doc_off],
+        "block_tf_off": [int(x) for x in seg.block_tf_off],
+        "block_dl_off": [int(x) for x in seg.block_dl_off],
+    }
+
+
+def row_to_segment(row) -> PostingSegment:
+    """Inverse of :func:`segment_to_row` (accepts dict-like / pd row)."""
+    return PostingSegment(
+        n_docs=int(row["n_docs"]),
+        block_size=int(row["block_size"]),
+        doc_gaps_vb=bytes(row["doc_gaps_vb"]),
+        tfs_vb=bytes(row["tfs_vb"]),
+        dls_vb=bytes(row["dls_vb"]),
+        block_last_doc_id=np.asarray(row["block_last_doc_id"], dtype=np.int64),
+        block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
+        block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
+        block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
+        block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
+        block_dl_off=np.asarray(row["block_dl_off"], dtype=np.int64),
+    )

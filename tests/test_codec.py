@@ -1,0 +1,88 @@
+"""VByte / delta-gap / block metadata unit + property tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bilies_go_spark.operators.codec import (
+    PostingSegment,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    row_to_segment,
+    segment_to_row,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+
+def test_vbyte_known_values():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**63], dtype=np.uint64)
+    buf = vbyte_encode(vals)
+    assert buf[0] == 0x80  # 0 encodes to a single terminator byte
+    np.testing.assert_array_equal(vbyte_decode(buf), vals)
+
+
+def test_vbyte_empty():
+    assert vbyte_encode(np.array([], dtype=np.uint64)).size == 0
+    assert vbyte_decode(b"").size == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    np.testing.assert_array_equal(vbyte_decode(vbyte_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=700, unique=True),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(ids, block_size):
+    doc_ids = np.sort(np.array(ids, dtype=np.int64))
+    n = doc_ids.size
+    tfs = (doc_ids % 17 + 1).astype(np.int64)
+    dls = (doc_ids % 211 + 5).astype(np.int64)
+    seg = encode_postings(doc_ids, tfs, dls, block_size=block_size)
+    d2, t2, l2 = decode_postings(seg)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(t2, tfs)
+    np.testing.assert_array_equal(l2, dls)
+    # block invariants: block max >= every tf in block, last id correct
+    nb = len(seg.block_last_doc_id)
+    for i in range(nb):
+        s, e = i * block_size, min((i + 1) * block_size, n)
+        assert seg.block_max_tf[i] == tfs[s:e].max()
+        assert seg.block_min_dl[i] == dls[s:e].min()
+        assert seg.block_last_doc_id[i] == doc_ids[e - 1]
+        bd, bt, bl = decode_block(seg, i)
+        np.testing.assert_array_equal(bd, doc_ids[s:e])
+        np.testing.assert_array_equal(bt, tfs[s:e])
+        np.testing.assert_array_equal(bl, dls[s:e])
+
+
+def test_segment_row_roundtrip():
+    doc_ids = np.array([3, 9, 10, 500, 100000], dtype=np.int64)
+    seg = encode_postings(doc_ids, doc_ids % 5 + 1, doc_ids % 7 + 2, block_size=2)
+    row = segment_to_row("hello", 1, seg)
+    seg2 = row_to_segment(row)
+    assert isinstance(seg2, PostingSegment)
+    for a, b in zip(decode_postings(seg), decode_postings(seg2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_encode_rejects_unsorted():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([5, 3], dtype=np.int64),
+            np.array([1, 1], dtype=np.int64),
+            np.array([1, 1], dtype=np.int64),
+        )
