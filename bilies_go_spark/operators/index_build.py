@@ -1,0 +1,440 @@
+"""Resumable inverted-index build: corpus -> posting segments.
+
+The pipeline (the reference's ingest/drain loop re-expressed for
+Catalyst — accumulate-and-flush /root/reference/batcher.go:76-128,
+ack-after-success /root/reference/requester.go:126-129):
+
+Stage A ("runs"), chunked by build partition (default: day(ts), so the
+corpus scan partition-prunes — the date-suffix routing of
+/root/reference/batcher.go:91 reborn as partition pruning):
+
+    corpus chunk -> quarantine split -> mapInPandas doc-local tf
+    -> (term, doc_id, tf, dl) -> single shuffle on (term_bucket, spread)
+    -> write runs/ partitioned by (build_part, term_bucket) with
+       dynamic partition overwrite -> lineage ack per part
+
+  Doc-local tf (pandas value_counts per Arrow batch) means the ONLY
+  shuffle of the token stream is the bucket repartition: tf compression
+  happens before bytes move, which at 100 TB is the difference between
+  shuffling ~N tokens and ~N distinct (term,doc) pairs.
+
+Stage B ("segments"), chunked by term_bucket:
+
+    runs for bucket -> exact per-term df -> salt count S(term) =
+    ceil(df / target_postings_per_salt) -> salt = pmod(xxhash64(doc_id
+    * PRIME), S) -> groupBy(term, salt).applyInPandas(encode VByte
+    segment) -> write segments/ + term_stats/ partitioned by
+    term_bucket -> lineage ack per bucket
+
+  Salting is mandatory for Zipf hot terms (AQE cannot split one key,
+  SURVEY.md §4.2): each salted group is bounded by ~target postings,
+  so no straggler task and bounded executor memory at any scale.
+
+Everything resumes: `Lineage.pending` anti-joins planned parts against
+acks; dynamic partition overwrite makes replays idempotent.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bilies_go_spark.functions.tokenize import TOKEN_SPLIT_RE
+from bilies_go_spark.operators.codec import (
+    DEFAULT_BLOCK_SIZE,
+    encode_postings,
+    segment_to_row,
+)
+from bilies_go_spark.plans.lineage import Lineage, StageTimer
+from bilies_go_spark.sources import tableio
+
+RUNS_SCHEMA = "build_part string, doc_id bigint, term string, tf int, dl int"
+SEGMENT_SCHEMA = (
+    "term string, salt int, term_bucket int, n_docs int, block_size int, "
+    "doc_gaps_vb binary, tfs_vb binary, dls_vb binary, "
+    "block_last_doc_id array<bigint>, block_max_tf array<bigint>, "
+    "block_min_dl array<bigint>, block_doc_off array<bigint>, "
+    "block_tf_off array<bigint>, block_dl_off array<bigint>"
+)
+TERM_STATS_SCHEMA = "term string, df bigint, cf bigint, term_bucket int"
+
+_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+# decorrelate the salt hash from the bucket hash (both xxhash64-based)
+_SALT_MIX = 0x7F4A7C15
+
+
+def term_bucket_col(term_col: str | Column, n_buckets: int) -> Column:
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def split_poison(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Separate malformed rows so they never block the build — the
+    skip-poison contract of /root/reference/requester.go:112-116.
+
+    Returns (clean, quarantined-with-reason)."""
+    from bilies_go_spark.functions.tokenize import tokenize_col
+
+    reason = (
+        F.when(F.col("doc_id").isNull(), "null_doc_id")
+        .when(F.col("text").isNull(), "null_text")
+        .when(F.length("text") == 0, "empty_text")
+        .when(F.size(tokenize_col("text")) == 0, "no_tokens")
+        .otherwise(None)
+    )
+    tagged = corpus.withColumn("_reason", reason)
+    clean = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    poison = tagged.filter(F.col("_reason").isNotNull()).withColumnRenamed("_reason", "reason")
+    return clean, poison
+
+
+def _doc_local_tf(batches):
+    """mapInPandas kernel: per-document term frequencies, vectorized.
+
+    pandas explode + groupby-size (C paths) — no per-row Python UDF.
+    Output: one row per distinct (doc, term) with tf and dl attached.
+    """
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        toks = pdf["text"].fillna("").str.lower().str.split(_PY_SPLIT)
+        s = toks.explode()
+        s = s[s.notna() & (s != "")]
+        if s.empty:
+            continue
+        pos = s.index.to_numpy()
+        frame = pd.DataFrame(
+            {
+                "build_part": pdf["build_part"].to_numpy()[pos],
+                "doc_id": pdf["doc_id"].to_numpy()[pos],
+                "term": s.to_numpy(),
+            }
+        )
+        dl = frame.groupby("doc_id", sort=False).size().rename("dl")
+        tf = (
+            frame.groupby(["build_part", "doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        tf = tf.merge(dl, left_on="doc_id", right_index=True)
+        yield pd.DataFrame(
+            {
+                "build_part": tf["build_part"],
+                "doc_id": tf["doc_id"].astype("int64"),
+                "term": tf["term"],
+                "tf": tf["tf"].astype("int32"),
+                "dl": tf["dl"].astype("int32"),
+            }
+        )
+
+
+def _make_encoder(block_size: int):
+    def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seg = encode_postings(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            block_size=block_size,
+        )
+        row = segment_to_row(str(pdf["term"].iloc[0]), int(pdf["salt"].iloc[0]), seg)
+        row["term_bucket"] = int(pdf["term_bucket"].iloc[0])
+        return pd.DataFrame([row])
+
+    return _encode_group
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def runs(self) -> str:
+        return os.path.join(self.root, "runs")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def quarantine(self) -> str:
+        return os.path.join(self.root, "quarantine")
+
+    @property
+    def stats_table(self) -> str:
+        return os.path.join(self.root, "corpus_stats")
+
+
+@dataclass
+class BuildConfig:
+    n_buckets: int = 16
+    block_size: int = DEFAULT_BLOCK_SIZE
+    target_postings_per_salt: int = 250_000
+    # tasks a single hot bucket's runs spread across in the stage-A shuffle
+    bucket_spread: int = 4
+    parts_per_chunk: int | None = None  # None = all pending in one chunk
+    buckets_per_chunk: int | None = None
+    build_part_expr: str = "date_format(ts, 'yyyy-MM-dd')"
+
+
+def plan_build_parts(corpus: DataFrame, cfg: BuildConfig) -> list[str]:
+    rows = (
+        corpus.select(F.expr(cfg.build_part_expr).alias("build_part"))
+        .distinct()
+        .collect()
+    )
+    return sorted(str(r["build_part"]) for r in rows)
+
+
+def _chunks(items: list, size: int | None) -> list[list]:
+    if not items:
+        return []
+    if size is None or size >= len(items):
+        return [items]
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+def build_runs(
+    spark: SparkSession,
+    corpus: DataFrame,
+    paths: IndexPaths,
+    cfg: BuildConfig,
+    lineage: Lineage,
+    max_chunks: int | None = None,
+) -> int:
+    """Stage A. Returns number of chunks processed (0 = nothing pending)."""
+    tagged = corpus.withColumn("build_part", F.expr(cfg.build_part_expr))
+    clean, poison = split_poison(tagged)
+    planned = plan_build_parts(corpus, cfg)
+    pending = lineage.pending(spark, "runs", planned)
+    if pending and not lineage.completed(spark, "runs"):
+        # first run: materialize the quarantine table once
+        poison.drop("build_part").write.mode("overwrite").parquet(paths.quarantine)
+    chunks = _chunks(pending, cfg.parts_per_chunk)
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+    n_parallel = spark.sparkContext.defaultParallelism
+    for chunk in chunks:
+        with StageTimer() as t:
+            sub = clean.filter(F.col("build_part").isin(chunk))
+            runs = (
+                sub.select("build_part", "doc_id", "text")
+                .mapInPandas(_doc_local_tf, schema=RUNS_SCHEMA)
+                .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
+            )
+            # the one token-stream shuffle: route to bucket, spread hot
+            # buckets over several tasks to avoid stragglers
+            runs = runs.repartition(
+                max(n_parallel, cfg.n_buckets),
+                "term_bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.bucket_spread)),
+            )
+            tableio.write_partitioned(
+                runs, paths.runs, ["build_part", "term_bucket"], dynamic_overwrite=True
+            )
+            # per-part doc stats for the ack ledger (exact; feeds avgdl)
+            stat_rows = {
+                r["build_part"]: r
+                for r in sub.select(
+                    "build_part",
+                    F.size(
+                        F.filter(
+                            F.split(F.lower("text"), TOKEN_SPLIT_RE),
+                            lambda x: x != F.lit(""),
+                        )
+                    ).alias("dl"),
+                )
+                .groupBy("build_part")
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+                .collect()
+            }
+            post_rows = {
+                r["build_part"]: r["p"]
+                for r in spark.read.parquet(paths.runs)
+                .filter(F.col("build_part").isin(chunk))
+                .groupBy("build_part")
+                .agg(F.count("*").alias("p"))
+                .collect()
+            }
+        per = t.seconds / max(len(chunk), 1)
+        lineage.ack(
+            spark,
+            "runs",
+            [
+                {
+                    "part": p,
+                    "rows": stat_rows[p]["n"] if p in stat_rows else 0,
+                    "sum_dl": stat_rows[p]["sum_dl"] if p in stat_rows else 0,
+                    "postings": post_rows.get(p, 0),
+                    "seconds": per,
+                }
+                for p in chunk
+            ],
+        )
+        tableio.commit_snapshot(
+            paths.runs, {"stage": "runs", "parts": chunk, "run_id": lineage.run_id}
+        )
+    return len(chunks)
+
+
+def build_segments(
+    spark: SparkSession,
+    paths: IndexPaths,
+    cfg: BuildConfig,
+    lineage: Lineage,
+    max_chunks: int | None = None,
+) -> int:
+    """Stage B. Returns number of chunks processed."""
+    planned = [str(b) for b in range(cfg.n_buckets)]
+    pending = lineage.pending(spark, "segments", planned)
+    chunks = _chunks(pending, cfg.buckets_per_chunk)
+    if max_chunks is not None:
+        chunks = chunks[:max_chunks]
+    encoder = _make_encoder(cfg.block_size)
+    for chunk in chunks:
+        bucket_ids = [int(b) for b in chunk]
+        with StageTimer() as t:
+            runs = spark.read.parquet(paths.runs).filter(
+                F.col("term_bucket").isin(bucket_ids)
+            )
+            tstats = runs.groupBy("term_bucket", "term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            )
+            tableio.write_partitioned(
+                tstats.select("term", "df", "cf", "term_bucket"),
+                paths.term_stats,
+                ["term_bucket"],
+            )
+            tstats_r = spark.read.parquet(paths.term_stats).filter(
+                F.col("term_bucket").isin(bucket_ids)
+            )
+            n_salts = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("df") / F.lit(cfg.target_postings_per_salt)),
+            ).cast("int")
+            salted = (
+                runs.join(tstats_r.select("term", n_salts.alias("n_salts")), "term")
+                .withColumn(
+                    "salt",
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")
+                    ).cast("int"),
+                )
+                .select("term_bucket", "term", "salt", "doc_id", "tf", "dl")
+            )
+            segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
+                encoder, schema=SEGMENT_SCHEMA
+            )
+            tableio.write_partitioned(segments, paths.segments, ["term_bucket"])
+            seg_stats = {
+                r["term_bucket"]: r
+                for r in spark.read.parquet(paths.segments)
+                .filter(F.col("term_bucket").isin(bucket_ids))
+                .groupBy("term_bucket")
+                .agg(
+                    F.sum("n_docs").alias("postings"),
+                    F.sum(
+                        F.length("doc_gaps_vb")
+                        + F.length("tfs_vb")
+                        + F.length("dls_vb")
+                    ).alias("bytes_out"),
+                    F.count("*").alias("n_segments"),
+                )
+                .collect()
+            }
+        per = t.seconds / max(len(chunk), 1)
+        lineage.ack(
+            spark,
+            "segments",
+            [
+                {
+                    "part": str(b),
+                    "rows": seg_stats[b]["n_segments"] if b in seg_stats else 0,
+                    "postings": seg_stats[b]["postings"] if b in seg_stats else 0,
+                    "bytes_out": seg_stats[b]["bytes_out"] if b in seg_stats else 0,
+                    "seconds": per,
+                }
+                for b in bucket_ids
+            ],
+        )
+        tableio.commit_snapshot(
+            paths.segments,
+            {"stage": "segments", "parts": chunk, "run_id": lineage.run_id},
+        )
+    return len(chunks)
+
+
+def finalize_stats(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
+    """Derive exact corpus stats (N, avgdl) from the stage-A ack ledger
+    and commit them as a one-row table the query engine broadcasts."""
+    lin = lineage.read(spark).filter("stage = 'runs' AND status = 'done'")
+    # one ack per part counts (replays append identical deterministic values)
+    rows = (
+        lin.groupBy("part")
+        .agg(F.max("rows").alias("rows"), F.max("sum_dl").alias("sum_dl"))
+        .agg(F.sum("rows").alias("n"), F.sum("sum_dl").alias("total_dl"))
+        .collect()[0]
+    )
+    n = int(rows["n"] or 0)
+    total_dl = int(rows["total_dl"] or 0)
+    avgdl = (total_dl / n) if n else 0.0
+    pdf = pd.DataFrame([{"n_docs": n, "total_dl": total_dl, "avgdl": avgdl}])
+    spark.createDataFrame(pdf, schema="n_docs bigint, total_dl bigint, avgdl double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(paths.stats_table)
+    tableio.commit_snapshot(paths.root, {"stage": "finalize", "n_docs": n, "avgdl": avgdl})
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+) -> IndexPaths:
+    """Full (resumable) build: stage A + stage B + stats finalize.
+
+    Safe to call again after a crash — completed parts are skipped via
+    the lineage ledger; partially-written parts are idempotently
+    overwritten.
+    """
+    cfg = cfg or BuildConfig()
+    paths = IndexPaths(index_dir)
+    lineage = Lineage(index_dir)
+    write_index_meta(paths, cfg)
+    build_runs(spark, corpus, paths, cfg, lineage)
+    build_segments(spark, paths, cfg, lineage)
+    finalize_stats(spark, paths, lineage)
+    return paths
+
+
+def write_index_meta(paths: IndexPaths, cfg: BuildConfig) -> None:
+    import json
+
+    os.makedirs(paths.root, exist_ok=True)
+    meta = {
+        "n_buckets": cfg.n_buckets,
+        "block_size": cfg.block_size,
+        "target_postings_per_salt": cfg.target_postings_per_salt,
+        "build_part_expr": cfg.build_part_expr,
+        "format_version": 1,
+    }
+    tmp = os.path.join(paths.root, "_index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(paths.root, "_index_meta.json"))
+
+
+def expected_salts(df: int, target: int) -> int:
+    return max(1, math.ceil(df / target))

@@ -1,0 +1,326 @@
+"""Top-k BM25 query engine over the posting-segment index.
+
+Plan shape (all tiny on the query side, per SURVEY.md §2.2 joins):
+
+    query texts -> tokenize -> (query_id, term, k)           [driver]
+    -> term->bucket map (one tiny JVM job, no data read)
+    -> segments parquet scan with term_bucket partition pruning AND
+       term IN (...) predicate pushdown                       [scan]
+    -> broadcast-join query terms + term stats onto segments
+    -> groupBy(query_id).applyInPandas(kernel)                [1 shuffle
+       of a few segment rows per query]
+    -> (query_id, rank, doc_id, score)
+
+Two exact kernels:
+
+* ``exhaustive`` — decode every block of every matching run, vectorized
+  accumulation.  The always-correct baseline.
+* ``pruned`` (default) — block-max candidate pruning: bootstrap a
+  threshold from the highest-impact term's own scores, bound every
+  block by ub(block) + sum of overlapping-block maxima of the other
+  terms, decode only surviving blocks (+ the gather blocks needed to
+  finish candidates exactly).  Rank-identical to exhaustive by
+  construction: pruning only discards docs whose score upper bound is
+  strictly below the kth bootstrap score.
+
+Scores are float64; per-doc term contributions accumulate in ascending
+term order — the same pinned summation order as the oracle
+(operators/bm25.py), so near-ties cannot reorder between engines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bilies_go_spark import B_DEFAULT, K1_DEFAULT
+from bilies_go_spark.operators.bm25 import query_terms_df
+from bilies_go_spark.operators.codec import decode_block, row_to_segment
+from bilies_go_spark.operators.index_build import IndexPaths, term_bucket_col
+
+TOPK_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
+
+
+def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+
+@dataclass
+class KernelStats:
+    blocks_total: int = 0
+    blocks_decoded: int = 0
+
+
+def _decode_term_runs(runs: list, block_mask_per_run: list | None):
+    """Decode (selected blocks of) a term's runs; merge to sorted arrays."""
+    ids_parts, tf_parts, dl_parts = [], [], []
+    for ri, seg in enumerate(runs):
+        nb = len(seg.block_last_doc_id)
+        sel = range(nb) if block_mask_per_run is None else np.flatnonzero(block_mask_per_run[ri])
+        for bi in sel:
+            d, t, ln = decode_block(seg, int(bi))
+            ids_parts.append(d)
+            tf_parts.append(t)
+            dl_parts.append(ln)
+    if not ids_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    ids = np.concatenate(ids_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], tfs[order], dls[order]
+
+
+def score_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    prune: bool = True,
+    stats: KernelStats | None = None,
+) -> pd.DataFrame:
+    """Score one query's segment rows -> top-k (exact)."""
+    if pdf.empty or avgdl <= 0:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        idf = float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        ubs = [
+            idf
+            * _tf_norm(
+                seg.block_max_tf.astype(np.float64),
+                seg.block_min_dl.astype(np.float64),
+                avgdl,
+                k1,
+                b,
+            )
+            for seg in runs
+        ]
+        per_term[term] = {"idf": idf, "runs": runs, "ubs": ubs}
+        stats.blocks_total += sum(len(u) for u in ubs)
+
+    if prune and len(terms) > 1:
+        cand, decoded = _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats)
+    else:
+        masks = {t: None for t in terms}
+        stats.blocks_decoded += stats.blocks_total
+        decoded = {t: _decode_term_runs(per_term[t]["runs"], masks[t]) for t in terms}
+        cand = np.unique(np.concatenate([decoded[t][0] for t in terms]))
+    if cand.size == 0:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    acc = np.zeros(cand.size, dtype=np.float64)
+    for term in terms:  # ascending-term accumulation: pinned order
+        ids, tfs, dls = decoded[term]
+        if ids.size == 0:
+            continue
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        hit = ids[pos_c] == cand
+        contrib = per_term[term]["idf"] * _tf_norm(tfs[pos_c[hit]], dls[pos_c[hit]], avgdl, k1, b)
+        acc[hit] += contrib
+
+    order = np.lexsort((cand, -acc))[:k]
+    return pd.DataFrame(
+        {
+            "query_id": np.full(order.size, qid, dtype=np.int64),
+            "rank": np.arange(1, order.size + 1, dtype=np.int32),
+            "doc_id": cand[order],
+            "score": acc[order],
+        }
+    )
+
+
+class _RunIndex:
+    """Block ranges + a sparse table for O(1) range-max over block ubs.
+
+    Blocks within one run are doc-disjoint and sorted; runs of the same
+    term interleave in doc space, so per-run RMQ + max over runs gives
+    the exact per-range maximum upper bound.
+    """
+
+    def __init__(self, seg, ub: np.ndarray):
+        last = seg.block_last_doc_id
+        self.ends = last.astype(np.int64)
+        self.starts = np.concatenate([[-1], last[:-1]]).astype(np.int64) + 1
+        self.ub = ub
+        # sparse table: tabs[j][i] = max ub over blocks [i, i + 2^j)
+        tabs = [ub]
+        j = 1
+        while (1 << j) <= len(ub):
+            prev = tabs[-1]
+            half = 1 << (j - 1)
+            tabs.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+            j += 1
+        self.tabs = tabs
+
+    def range_max(self, q_start: np.ndarray, q_end: np.ndarray) -> np.ndarray:
+        """Max ub over blocks overlapping [q_start, q_end], per query."""
+        i0 = np.searchsorted(self.ends, q_start, side="left")
+        i1 = np.searchsorted(self.starts, q_end, side="right") - 1
+        out = np.zeros(q_start.size, dtype=np.float64)
+        valid = (i0 <= i1) & (i0 < len(self.ub))
+        if not valid.any():
+            return out
+        a, c = i0[valid], i1[valid]
+        length = c - a + 1
+        j = np.frexp(length.astype(np.float64))[1] - 1  # floor(log2)
+        res = np.empty(a.size, dtype=np.float64)
+        for jj in np.unique(j):
+            m = j == jj
+            tab = self.tabs[int(jj)]
+            span = 1 << int(jj)
+            res[m] = np.maximum(tab[a[m]], tab[c[m] - span + 1])
+        out[valid] = res
+        return out
+
+    def blocks_containing(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Indices of blocks whose range may contain the given docs."""
+        idx = np.searchsorted(self.ends, doc_ids, side="left")
+        idx = idx[idx < len(self.ends)]
+        return np.unique(idx)
+
+
+def _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats: KernelStats):
+    """Block-max candidate pruning + candidate-directed gather.
+
+    1. Bootstrap θ = kth best *partial* score of the highest-impact
+       term (partial scores lower-bound true scores, so θ lower-bounds
+       the final kth score).
+    2. A block of term t survives iff ub_t(block) + Σ_{u≠t}
+       (max ub over u-blocks overlapping the block's doc range) ≥ θ.
+       Any doc in no surviving block has total upper bound < θ — it
+       cannot enter the top-k (rank-safe pruning).
+    3. Candidates = docs of surviving blocks only.  Exactness: for each
+       term, additionally decode the blocks that may CONTAIN a
+       candidate (binary search of candidate ids against block ranges),
+       so every candidate's score is complete.
+
+    Returns (candidate doc_ids, {term: (ids, tfs, dls)} decoded arrays).
+    """
+    runidx = {
+        t: [_RunIndex(seg, per_term[t]["ubs"][ri]) for ri, seg in enumerate(per_term[t]["runs"])]
+        for t in terms
+    }
+
+    # 1. bootstrap θ (decode the dominant term once; arrays reused below)
+    best_term = max(
+        terms,
+        key=lambda t: max((float(r.ub.max()) for r in runidx[t] if r.ub.size), default=0.0),
+    )
+    best_full = _decode_term_runs(per_term[best_term]["runs"], None)
+    stats.blocks_decoded += sum(len(r.ub) for r in runidx[best_term])
+    part = per_term[best_term]["idf"] * _tf_norm(best_full[1], best_full[2], avgdl, k1, b)
+    theta = float(np.partition(part, -k)[-k]) if part.size >= k else 0.0
+
+    # 2. survival masks (tight per-range bounds via RMQ)
+    surviving: dict[str, list[np.ndarray]] = {}
+    for t in terms:
+        mask_per_run = []
+        for r in runidx[t]:
+            bound = r.ub.copy()
+            for u in terms:
+                if u == t:
+                    continue
+                ou = np.zeros(len(r.ub), dtype=np.float64)
+                for ur in runidx[u]:
+                    np.maximum(ou, ur.range_max(r.starts, r.ends), out=ou)
+                bound += ou
+            mask_per_run.append(bound >= theta - 1e-12)  # keep true ties
+        surviving[t] = mask_per_run
+
+    # 3. candidates from surviving blocks
+    cand_parts = []
+    for t in terms:
+        for ri, seg in enumerate(per_term[t]["runs"]):
+            m = surviving[t][ri]
+            if not m.any():
+                continue
+            for bi in np.flatnonzero(m):
+                d, _, _ = decode_block(seg, int(bi))
+                cand_parts.append(d)
+    if not cand_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, {t: (e, e, e) for t in terms}
+    cand = np.unique(np.concatenate(cand_parts))
+
+    # 4. gather: per term decode surviving ∪ candidate-containing blocks
+    decoded = {}
+    for t in terms:
+        if t == best_term:
+            decoded[t] = best_full  # already full — lookups complete
+            continue
+        mask_per_run = []
+        for ri, r in enumerate(runidx[t]):
+            m = surviving[t][ri].copy()
+            m[r.blocks_containing(cand)] = True
+            mask_per_run.append(m)
+        stats.blocks_decoded += int(sum(m.sum() for m in mask_per_run))
+        decoded[t] = _decode_term_runs(per_term[t]["runs"], mask_per_run)
+    return cand, decoded
+
+
+def load_index_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        return json.load(f)
+
+
+def topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    prune: bool = True,
+) -> DataFrame:
+    """Batch top-k: one output row per (query, rank)."""
+    paths = IndexPaths(index_dir)
+    meta = load_index_meta(index_dir)
+    srow = spark.read.parquet(paths.stats_table).collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+
+    qt = query_terms_df(spark, queries)
+    term_rows = qt.select("term").distinct()
+    tb = term_rows.withColumn("term_bucket", term_bucket_col("term", meta["n_buckets"]))
+    term_to_bucket = {r["term"]: int(r["term_bucket"]) for r in tb.collect()}
+    if not term_to_bucket:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    buckets = sorted(set(term_to_bucket.values()))
+    terms = sorted(term_to_bucket)
+
+    segs = (
+        spark.read.parquet(paths.segments)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    tstats = (
+        spark.read.parquet(paths.term_stats)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_query_kernel(pdf, k1, b, n_docs, avgdl, prune=prune)
+
+    return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)

@@ -56,7 +56,11 @@ class CorpusStats:
 
 
 def corpus_stats(corpus: DataFrame, text_col: str = "text") -> CorpusStats:
+    """Exact integer sum(dl)/N then one float64 division — deterministic
+    regardless of partition/summation order (float avgdl drift would
+    leak into every BM25 score)."""
     row = doc_stats(corpus, text_col).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n"), F.sum("dl").alias("total_dl")
     ).collect()[0]
-    return CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+    n = int(row["n"])
+    return CorpusStats(n_docs=n, avgdl=(int(row["total_dl"] or 0) / n) if n else 0.0)

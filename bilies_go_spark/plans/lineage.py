@@ -1,0 +1,111 @@
+"""Per-partition lineage: the ack ledger that makes builds resumable.
+
+Reimagines the reference's durable-queue contract in table form:
+
+* queue write + ack-after-success  (/root/reference/queue.go:115-155,
+  requester.go:126-129, queue.go:207-239)  ->  `ack()` appends a
+  status row AFTER the partition's data write committed;
+* resume-from-cursor (/root/reference/queue.go:125-128, 246-255)  ->
+  `pending()` anti-joins planned parts against completed acks;
+* per-stage metrics registry (/root/reference/queue.go:51-60 etc.)  ->
+  the same ledger carries rows/postings/bytes/seconds per part, from
+  which docs/sec & postings/sec derive.
+
+At-least-once + idempotent partition overwrite (tableio) = effective
+exactly-once, the same argument as the reference's stable-`_id`
+re-send (/root/reference/batcher.go:91).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_SCHEMA = (
+    "stage string, part string, status string, rows bigint, postings bigint, "
+    "sum_dl bigint, bytes_out bigint, seconds double, run_id string"
+)
+
+
+class Lineage:
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "_lineage")
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not self.exists():
+            return spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+        return spark.read.parquet(self.path)
+
+    def completed(self, spark: SparkSession, stage: str) -> set[str]:
+        if not self.exists():
+            return set()
+        rows = (
+            self.read(spark)
+            .filter(f"stage = '{stage}' AND status = 'done'")
+            .select("part")
+            .distinct()
+            .collect()
+        )
+        return {r["part"] for r in rows}
+
+    def pending(self, spark: SparkSession, stage: str, planned: list[str]) -> list[str]:
+        """Resume = planned parts minus acked parts (order-preserving)."""
+        done = self.completed(spark, stage)
+        return [p for p in planned if p not in done]
+
+    def ack(self, spark: SparkSession, stage: str, parts: list[dict]) -> None:
+        """Append 'done' rows — the DropC/prefix-delete analogue."""
+        if not parts:
+            return
+        pdf = pd.DataFrame(
+            [
+                {
+                    "stage": stage,
+                    "part": str(p["part"]),
+                    "status": p.get("status", "done"),
+                    "rows": int(p.get("rows", 0)),
+                    "postings": int(p.get("postings", 0)),
+                    "sum_dl": int(p.get("sum_dl", 0)),
+                    "bytes_out": int(p.get("bytes_out", 0)),
+                    "seconds": float(p.get("seconds", 0.0)),
+                    "run_id": self.run_id,
+                }
+                for p in parts
+            ]
+        )
+        spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """Per-part build metrics: docs/sec, postings/sec, bytes out —
+        the north_star's build-metrics surface (reference analogue:
+        metric dump /root/reference/metrics.go:63-165)."""
+        from pyspark.sql import functions as F
+
+        lin = self.read(spark)
+        return lin.withColumn(
+            "docs_per_sec",
+            F.when(F.col("seconds") > 0, F.col("rows") / F.col("seconds")),
+        ).withColumn(
+            "postings_per_sec",
+            F.when(F.col("seconds") > 0, F.col("postings") / F.col("seconds")),
+        )
+
+
+class StageTimer:
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.monotonic() - self.t0
+        return False

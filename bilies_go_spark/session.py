@@ -21,7 +21,16 @@ def package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "bilies_go_spark_pyfiles.zip")
-    if not os.path.exists(out):
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ]
+    stale = not os.path.exists(out) or os.path.getmtime(out) < max(
+        os.path.getmtime(s) for s in sources
+    )
+    if stale:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -1,0 +1,176 @@
+"""Index build + query engine: rank-identity vs the brute-force oracle.
+
+Pruning-safety argument (tested below): a block of term t survives iff
+ub_t(block) + sum over other terms u of (max ub over u-blocks
+overlapping the block's doc range) >= theta.  For any doc d, its true
+score <= ub of the t-block containing it + sum of ubs of the u-blocks
+containing it, each of which overlaps that t-block; so if every block
+containing d is pruned, score(d) < theta <= final kth score, and d
+cannot belong to the top-k.  The gather pass decodes every u-block
+overlapping a surviving block, so surviving candidates are scored
+EXACTLY.  Hence pruned == exhaustive, rank for rank, score for score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bilies_go_spark.corpus import reference_queries
+from bilies_go_spark.operators.bm25 import brute_force_topk
+from bilies_go_spark.operators.index_build import BuildConfig, build_index
+from bilies_go_spark.operators.query import topk
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    cfg = BuildConfig(n_buckets=8, block_size=32, target_postings_per_salt=200)
+    build_index(spark, small_corpus, d, cfg)
+    return d
+
+
+def _assert_rank_identical(got: pd.DataFrame, exp: pd.DataFrame, tol=1e-9):
+    """Rank-for-rank identity, tolerating reorder only inside score ties."""
+    for qid in sorted(set(exp["query_id"]) | set(got["query_id"])):
+        g = got[got.query_id == qid].sort_values("rank").reset_index(drop=True)
+        e = exp[exp.query_id == qid].sort_values("rank").reset_index(drop=True)
+        assert len(g) == len(e), f"q{qid}: {len(g)} vs {len(e)} rows"
+        gs, es = g["score"].to_numpy(), e["score"].to_numpy()
+        np.testing.assert_allclose(gs, es, rtol=0, atol=tol, err_msg=f"q{qid} scores")
+        # doc ids must match except within float-tie groups
+        mismatch = g["doc_id"].to_numpy() != e["doc_id"].to_numpy()
+        if mismatch.any():
+            for i in np.flatnonzero(mismatch):
+                tie_g = set(g.loc[np.abs(gs - gs[i]) <= tol, "doc_id"])
+                tie_e = set(e.loc[np.abs(es - es[i]) <= tol, "doc_id"])
+                assert g.loc[i, "doc_id"] in tie_e and e.loc[i, "doc_id"] in tie_g, (
+                    f"q{qid} rank {i + 1}: doc {g.loc[i, 'doc_id']} vs {e.loc[i, 'doc_id']}"
+                )
+
+
+def test_engine_rank_identical_to_oracle(spark, small_corpus, index_dir):
+    queries = reference_queries()
+    exp = brute_force_topk(spark, small_corpus, queries).toPandas()
+    got = topk(spark, index_dir, queries, prune=True).toPandas()
+    _assert_rank_identical(got, exp)
+
+
+def test_pruned_equals_exhaustive(spark, index_dir):
+    queries = reference_queries()
+    a = topk(spark, index_dir, queries, prune=True).toPandas()
+    b = topk(spark, index_dir, queries, prune=False).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_absent_term_returns_empty(spark, index_dir):
+    q = pd.DataFrame({"query_id": [0], "text": ["zzzqqqxxx"], "k": [10]})
+    assert topk(spark, index_dir, q).count() == 0
+
+
+def test_nondefault_bm25_params(spark, small_corpus, index_dir):
+    queries = reference_queries().head(10)
+    exp = brute_force_topk(spark, small_corpus, queries, k1=0.9, b=0.4).toPandas()
+    got = topk(spark, index_dir, queries, k1=0.9, b=0.4).toPandas()
+    _assert_rank_identical(got, exp)
+
+
+def test_salting_actually_splits_hot_terms(spark, index_dir):
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    per_term = segs.groupBy("term").count().toPandas()
+    assert (per_term["count"] > 1).any(), "expected salted multi-run hot terms"
+    # every salted run respects the size target (2x slack for hash skew)
+    sizes = segs.select("term", "salt", "n_docs").toPandas()
+    assert sizes["n_docs"].max() <= 2 * 200
+
+
+def _seg_row(term, ids, tfs, dls, df, k=10, block_size=64):
+    from bilies_go_spark.operators.codec import encode_postings, segment_to_row
+
+    seg = encode_postings(ids, tfs, dls, block_size=block_size)
+    row = segment_to_row(term, 0, seg)
+    row.update({"term_bucket": 0, "query_id": 0, "k": k, "df": df})
+    return row
+
+
+def test_pruning_skips_blocks_and_stays_exact():
+    """Crafted hot+rare query: a high-idf rare term bootstraps a real
+    threshold, so hot-term blocks outside the rare doc range and below
+    the threshold must be skipped — while results stay exact."""
+    from bilies_go_spark.operators.query import KernelStats, score_query_kernel
+
+    rng = np.random.default_rng(0)
+    hot_ids = np.arange(0, 10000, dtype=np.int64)
+    hot_tf = rng.integers(1, 4, size=hot_ids.size).astype(np.int64)
+    hot_tf[5000:5050] = 50
+    dls = np.full(hot_ids.size, 100, dtype=np.int64)
+    rare_ids = np.arange(7000, 7020, dtype=np.int64)
+    pdf = pd.DataFrame(
+        [
+            _seg_row("hot", hot_ids, hot_tf, dls, df=10000),
+            _seg_row(
+                "rare",
+                rare_ids,
+                np.full(20, 3, dtype=np.int64),
+                np.full(20, 100, dtype=np.int64),
+                df=20,
+            ),
+        ]
+    )
+    st = KernelStats()
+    pruned = score_query_kernel(pdf, 1.2, 0.75, 10000, 100.0, prune=True, stats=st)
+    exhaustive = score_query_kernel(pdf, 1.2, 0.75, 10000, 100.0, prune=False)
+    pd.testing.assert_frame_equal(pruned, exhaustive)
+    assert st.blocks_decoded < st.blocks_total, (st.blocks_decoded, st.blocks_total)
+
+
+def test_pruning_never_overdecodes_on_corpus(spark, index_dir):
+    """On the real index, pruned kernel decodes <= total for every
+    reference query (and equality to exhaustive is covered above)."""
+    from bilies_go_spark.operators.bm25 import query_terms_df
+    from bilies_go_spark.operators.index_build import IndexPaths
+    from bilies_go_spark.operators.query import KernelStats, score_query_kernel
+    from pyspark.sql import functions as F
+
+    paths = IndexPaths(index_dir)
+    srow = spark.read.parquet(paths.stats_table).collect()[0]
+    q = reference_queries().head(20)
+    qt = query_terms_df(spark, q)
+    segs = spark.read.parquet(paths.segments)
+    tstats = spark.read.parquet(paths.term_stats).select("term", "df")
+    joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term").toPandas()
+    for _qid, grp in joined.groupby("query_id"):
+        st = KernelStats()
+        score_query_kernel(
+            grp, 1.2, 0.75, int(srow["n_docs"]), float(srow["avgdl"]), prune=True, stats=st
+        )
+        assert st.blocks_decoded <= st.blocks_total
+
+
+def test_quarantine_and_poison_rows(spark, tmp_path):
+    """Poison rows (null/empty/no-token text) are quarantined with a
+    reason and the rest of the build proceeds — the bisect-skip
+    contract of /root/reference/requester.go:112-116."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2, 3, 4], dtype="int64"),
+            "text": ["good words here", None, "", "!!! ...", "more good text"],
+            "ts": pd.to_datetime(["2026-01-01"] * 5),
+        }
+    )
+    corpus = spark.createDataFrame(rows, schema="doc_id bigint, text string, ts timestamp")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, BuildConfig(n_buckets=2))
+    quarantined = spark.read.parquet(f"{d}/quarantine").toPandas()
+    assert sorted(quarantined["doc_id"]) == [1, 2, 3]
+    assert set(quarantined["reason"]) == {"null_text", "empty_text", "no_tokens"}
+    stats = spark.read.parquet(f"{d}/corpus_stats").collect()[0]
+    assert stats["n_docs"] == 2
+    got = topk(spark, d, pd.DataFrame({"query_id": [0], "text": ["good"], "k": [5]})).toPandas()
+    assert sorted(got["doc_id"]) == [0, 4]
