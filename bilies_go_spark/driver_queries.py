@@ -1,0 +1,314 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Feeds ``__spark_entry__.py``: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) gets a
+``queries()`` callable ``(spark, sf_dir) -> DataFrame`` and — where
+SQL-expressible — a matching DuckDB ``oracle_sql()`` string over the
+pre-registered parquet views.  Column names/aliases are identical on
+both sides; float columns are round(·, 6) DOUBLEs; ranks order by the
+rounded score with ascending-id tie-breaks (see functions/portable.py
+for the portability rules).
+
+The BM25 entries run against the ``documents`` table (doc_id, text) —
+same engine code paths as the transcripts corpus, exercised where the
+driver's DuckDB oracle can see the data.  ``bm25_topk_indexed`` is the
+full engine: VByte posting segments + block-max pruned kernel, built
+once per sf_dir into a cached temp index, and it must match the pure
+SQL oracle rank-for-rank — that IS the north_rule's rank-identity gate
+run by an independent engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bilies_go_spark import B_DEFAULT, K1_DEFAULT
+from bilies_go_spark.functions.portable import ROUND_DIGITS, duck_round, duck_tokens
+from bilies_go_spark.functions.tokenize import tokenize_col, tokenize_py
+from bilies_go_spark.operators import ann, dedup, textstats
+from bilies_go_spark.operators.bm25 import brute_force_scores
+from bilies_go_spark.operators.stats import term_postings, term_stats
+
+# --- the fixed BM25 reference query set over `documents` -------------------
+# (terms chosen from the documents vocabulary: hot terms df≈390/500,
+#  'dup' is the rare term planted in the 25 near-duplicate docs)
+BM25_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table", 10),
+    (1, "dup", 10),                 # rare term
+    (2, "hash join", 10),           # hot pair
+    (3, "scan merge batch", 10),    # hot triple
+    (4, "dup query", 10),           # rare + hot (pruning stress)
+    (5, "zzzmissing", 10),          # absent term
+    (6, "zzzmissing table", 10),    # absent + hot
+    (7, "table table", 10),         # repeated -> deduplicated
+    (8, "Sort, ORDER!! by", 10),    # case/punctuation normalization
+    (9, "spark window group", 10),
+]
+BM25_KERNEL_OVERFETCH = 20  # fetch k+20 raw, cut to k on rounded rank
+
+
+def bm25_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in BM25_QUERIES],
+            "text": [q[1] for q in BM25_QUERIES],
+            "k": [q[2] for q in BM25_QUERIES],
+        }
+    )
+
+
+def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `documents` table as a BM25 corpus: docs with >=1 token."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.filter(F.size(tokenize_col("text")) > 0)
+
+
+def _rounded_rank_topk(scored: DataFrame, k_col: str = "k") -> DataFrame:
+    """Rank by (round(score,6) DESC, doc_id ASC), keep rank <= k."""
+    scored = scored.withColumn("score", F.round("score", ROUND_DIGITS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col(k_col))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = documents_corpus(spark, sf_dir)
+    scores = brute_force_scores(spark, corpus, bm25_queries_pdf())
+    return _rounded_rank_topk(scores)
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bgs_docs_index_{h}")
+
+
+def build_documents_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the posting-segment index over `documents`."""
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+
+    idx = _index_dir_for(sf_dir)
+    if os.path.exists(os.path.join(idx, "_index_meta.json")) and os.path.exists(
+        os.path.join(idx, "corpus_stats")
+    ):
+        return idx
+    corpus = documents_corpus(spark, sf_dir)
+    cfg = BuildConfig(n_buckets=8, build_part_expr="source", target_postings_per_salt=200)
+    build_index(spark, corpus, idx, cfg)
+    return idx
+
+
+def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: VByte segments + block-max pruned kernel."""
+    from bilies_go_spark.operators.query import topk
+
+    idx = build_documents_index(spark, sf_dir)
+    q = bm25_queries_pdf()
+    q = q.assign(k=q["k"] + BM25_KERNEL_OVERFETCH)
+    raw = topk(spark, idx, q, prune=True)
+    kmap = bm25_queries_pdf()[["query_id", "k"]]
+    kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in BM25_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
+# --- relational building blocks over documents ------------------------------
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = documents_corpus(spark, sf_dir)
+    return term_stats(term_postings(corpus)).select("term", "df", "cf")
+
+
+def term_stats_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM post GROUP BY 1
+"""
+
+
+def q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select("doc_id", F.size(tokenize_col("text")).alias("dl"))
+
+
+def doc_length_oracle() -> str:
+    return f"SELECT doc_id, len({duck_tokens()}) AS dl FROM documents"
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = q_doc_length(spark, sf_dir)
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.round(F.sum("dl") / F.count("*"), ROUND_DIGITS).alias("avgdl"),
+    )
+
+
+def corpus_stats_oracle() -> str:
+    return f"""
+WITH dl AS (SELECT doc_id, len({duck_tokens()}) AS dl FROM documents)
+SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+       {duck_round('sum(dl) * 1.0 / count(*)')} AS avgdl
+FROM dl
+"""
+
+
+# --- events: tumbling-window aggregation (streaming-compatible shape) -------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type — the batch twin of the
+    Structured-Streaming windowed aggregation (same F.window operator
+    runs unchanged under readStream)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), ROUND_DIGITS).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_windowed_oracle() -> str:
+    return f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+       count(*) AS n_events, {duck_round('sum(value)')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- multimodal plumbing: opaque binary column + typed metadata --------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/plumbing for opaque media payloads: a binary column with
+    per-blob metadata (byte length + content digest).  The payload here
+    is the UTF-8 bytes of `text` standing in for an image blob — the
+    Spark-side plumbing (BinaryType column, metadata projection) is
+    exactly what a real media table uses."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+    )
+
+
+def multimodal_meta_oracle() -> str:
+    return """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+FROM documents
+"""
+
+
+# --- registry ----------------------------------------------------------------
+
+def _docs(fn):
+    def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+    return call
+
+
+def _embs(fn):
+    def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+
+    return call
+
+
+def registry() -> dict[str, tuple]:
+    """name -> (callable(spark, sf_dir) -> DataFrame, oracle_sql | None)."""
+    entries: dict[str, tuple] = {
+        # relational / stats building blocks (SURVEY §2.2 aggregations)
+        "term_stats": (q_term_stats, term_stats_oracle()),
+        "doc_length": (q_doc_length, doc_length_oracle()),
+        "corpus_stats": (q_corpus_stats, corpus_stats_oracle()),
+        # BM25: oracle-checked rank identity (north_rule gate)
+        "bm25_topk_brute": (bm25_brute, bm25_oracle_sql()),
+        "bm25_topk_indexed": (bm25_indexed, bm25_oracle_sql()),
+        # dedup suite
+        "dedup_exact": (_docs(dedup.exact_groups), dedup.exact_groups_oracle()),
+        "dedup_ngram_jaccard": (
+            _docs(dedup.ngram_jaccard_pairs),
+            dedup.ngram_jaccard_oracle(),
+        ),
+        "dedup_minhash_lsh": (
+            _docs(dedup.minhash_lsh_pairs),
+            dedup.minhash_lsh_oracle(),
+        ),
+        "simhash": (_docs(dedup.simhash), dedup.simhash_oracle()),
+        "doc_fingerprint": (_docs(dedup.min_fingerprint), dedup.min_fingerprint_oracle()),
+        # text analysis
+        "token_counts": (_docs(textstats.token_counts), textstats.token_counts_oracle()),
+        "quality_scores": (
+            _docs(textstats.quality_scores),
+            textstats.quality_scores_oracle(),
+        ),
+        "language_id": (_docs(textstats.language_id), textstats.language_id_oracle()),
+        # similarity search over embeddings
+        "ann_cosine_topk": (_embs(ann.cosine_topk), ann.cosine_topk_oracle()),
+        "ann_lsh_buckets": (_embs(ann.lsh_buckets), ann.lsh_buckets_oracle()),
+        "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
+        # events / streaming-shaped agg
+        "events_windowed": (q_events_windowed, events_windowed_oracle()),
+        # multimodal plumbing
+        "multimodal_meta": (q_multimodal_meta, multimodal_meta_oracle()),
+    }
+    return entries

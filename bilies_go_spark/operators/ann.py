@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+* :func:`cosine_topk` — brute-force exact cosine top-k.  The query set
+  is tiny (broadcast); candidates stream through a single scan with the
+  dot products computed by JVM higher-order functions
+  (``zip_with`` + ``aggregate`` in float64 — no Python, no shuffle of
+  the embedding column beyond the final per-query top-k).  Exact
+  baseline and the verifier for the bucketed path.
+* :func:`lsh_buckets` / :func:`lsh_topk` — random-hyperplane sign LSH:
+  bucket = the 8-bit sign pattern of dot products against 8 fixed
+  hyperplane vectors (rows of the corpus itself, so the scheme is fully
+  deterministic and oracle-expressible).  ``lsh_topk`` restricts the
+  exact search to the query's bucket — the IVF-style scale path where
+  each bucket is a partition and only 1/2^bits of the corpus is read
+  per query (bucket pruning via partitioned storage at scale).
+
+Float parity with the DuckDB oracle: products and sums in float64 in
+ascending element order in both engines; cosine rounded to 6 digits;
+ranks ordered by (rounded cosine DESC, vec_id ASC) in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bilies_go_spark.functions.portable import (
+    ANN_K,
+    ANN_LSH_K,
+    ANN_LSH_PLANES,
+    ANN_N_QUERIES,
+    duck_round,
+)
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_dot(a: str, b: str, dim_of: str = "") -> str:
+    """Float64 dot product, left-to-right summation — the DuckDB twin of
+    :func:`_dot` (indexed list lambda; ``dim_of`` kept for signature
+    stability, unused)."""
+    return (
+        f"list_sum(list_transform({a}, (x, i) -> "
+        f"CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def with_norm(vecs: DataFrame, col: str = "embedding") -> DataFrame:
+    return vecs.withColumn("norm", F.sqrt(_dot(col, col)))
+
+
+def cosine_topk(
+    vecs: DataFrame, n_queries: int = ANN_N_QUERIES, k: int = ANN_K
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — exact top-k per query vector.
+
+    Queries = ``vec_id < n_queries``; candidates = every other vector.
+    """
+    v = with_norm(vecs).select("vec_id", "embedding", "norm")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_oracle(
+    table: str = "embeddings", n_queries: int = ANN_N_QUERIES, k: int = ANN_K
+) -> str:
+    dot = _duck_dot("q.embedding", "c.embedding", "q.embedding")
+    qn = _duck_dot("q.embedding", "q.embedding", "q.embedding")
+    cn = _duck_dot("c.embedding", "c.embedding", "c.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM {table} WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {duck_round(f'{dot} / (sqrt({qn}) * sqrt({cn}))')} AS cosine
+  FROM q JOIN {table} c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_buckets(vecs: DataFrame, planes: list[int] | None = None) -> DataFrame:
+    """(vec_id, bucket) — 2^len(planes)-way sign-LSH bucketing.
+
+    Hyperplanes are the embedding rows with ``vec_id`` in ``planes``
+    (deterministic, data-derived — at scale you'd sample or train
+    them; the bucketing/partition plumbing is identical).
+    """
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    spark = vecs.sparkSession
+    p = vecs.filter(F.col("vec_id").isin(planes)).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_emb")
+    )
+    order = {pid: i for i, pid in enumerate(sorted(planes))}
+    omap = F.create_map(
+        *[x for pid, i in order.items() for x in (F.lit(pid), F.lit(i))]
+    )
+    bits = (
+        vecs.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(p))
+        .select(
+            "vec_id",
+            omap[F.col("plane_id")].alias("bit_pos"),
+            (_dot("embedding", "p_emb") >= 0).cast("int").alias("bit"),
+        )
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), bit_pos)")).alias("bucket")
+    )
+
+
+def lsh_buckets_oracle(table: str = "embeddings", planes: list[int] | None = None) -> str:
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    rows = ", ".join(f"({pid}, {i})" for i, pid in enumerate(sorted(planes)))
+    dot = _duck_dot("v.embedding", "p.embedding", "v.embedding")
+    return f"""
+WITH plane_pos(plane_id, bit_pos) AS (VALUES {rows}),
+p AS (
+  SELECT pp.bit_pos, e.embedding FROM plane_pos pp JOIN {table} e ON e.vec_id = pp.plane_id
+)
+SELECT v.vec_id,
+       CAST(sum(CASE WHEN {dot} >= 0 THEN (1::BIGINT << p.bit_pos) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+FROM {table} v, p
+GROUP BY 1
+"""
+
+
+def lsh_topk(
+    vecs: DataFrame,
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_LSH_K,
+    planes: list[int] | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — exact cosine, candidates
+    restricted to the query's LSH bucket (the IVF probe-1 pattern)."""
+    b = lsh_buckets(vecs, planes)
+    v = with_norm(vecs).join(b, "vec_id").select("vec_id", "embedding", "norm", "bucket")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = v.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def lsh_topk_oracle(
+    table: str = "embeddings",
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_LSH_K,
+    planes: list[int] | None = None,
+) -> str:
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    buckets = lsh_buckets_oracle(table, planes).strip().rstrip()
+    dot = _duck_dot("q.embedding", "c.embedding", "q.embedding")
+    qn = _duck_dot("q.embedding", "q.embedding", "q.embedding")
+    cn = _duck_dot("c.embedding", "c.embedding", "c.embedding")
+    return f"""
+WITH b AS ({buckets}),
+ve AS (SELECT e.vec_id, e.embedding, b.bucket FROM {table} e JOIN b ON e.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM ve WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {duck_round(f'{dot} / (sqrt({qn}) * sqrt({cn}))')} AS cosine
+  FROM q JOIN ve c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""

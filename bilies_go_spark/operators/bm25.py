@@ -64,7 +64,7 @@ def query_terms_df(spark: SparkSession, queries: pd.DataFrame) -> DataFrame:
     )
 
 
-def brute_force_topk(
+def brute_force_scores(
     spark: SparkSession,
     corpus: DataFrame,
     queries: pd.DataFrame,
@@ -73,12 +73,9 @@ def brute_force_topk(
     stats: CorpusStats | None = None,
     postings: DataFrame | None = None,
 ) -> DataFrame:
-    """No-pruning BM25 top-k: score every candidate doc of every query.
-
-    Returns (query_id, rank, doc_id, score); rank is 1-based, ordered
-    by (score desc, doc_id asc) — doc_id ascending is the pinned tie
-    break (FIXTURES.md §3).
-    """
+    """Full no-pruning BM25 score table: (query_id, doc_id, score, k)
+    for every candidate document of every query (no rank/limit — the
+    callers pick their ranking discipline)."""
     from bilies_go_spark.operators.stats import corpus_stats as _cs
 
     st = stats or _cs(corpus)
@@ -110,7 +107,7 @@ def brute_force_topk(
     )
     # deterministic summation order: collect per-term scores, sort by
     # term, fold left in float64
-    agg = (
+    return (
         scored.groupBy("query_id", "doc_id")
         .agg(
             F.aggregate(
@@ -121,6 +118,24 @@ def brute_force_topk(
             F.first("k").alias("k"),
         )
     )
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: pd.DataFrame,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    stats: CorpusStats | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """No-pruning BM25 top-k: score every candidate doc of every query.
+
+    Returns (query_id, rank, doc_id, score); rank is 1-based, ordered
+    by (score desc, doc_id asc) — doc_id ascending is the pinned tie
+    break (FIXTURES.md §3).
+    """
+    agg = brute_force_scores(spark, corpus, queries, k1, b, stats, postings)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
