@@ -1,0 +1,203 @@
+"""Benchmark harness — the BASELINE.json metric, measured.
+
+Headline: inverted-index build throughput (turns/sec) at
+local[$SPARK_GRAFT_CPUS] over the deterministic synthetic transcripts
+corpus (sf-scaled), plus top-k BM25 query latency (p50/p95 on the
+serving path, batch on the distributed path).
+
+Scaling evidence (north_rule N -> 4N criterion, sandbox stand-in per
+driver instruction): the SAME materialized corpus built cold at
+local[2] and local[8] — identical job config (shuffle partitions,
+buckets, splits), only the executor-thread count varies, exactly like
+adding executors to a fixed job.  Efficiency = (thr_8 / thr_2) / 4.
+The scaling corpus defaults to 150k convs (~1M turns) so per-core work
+dominates fixed driver costs; SPARK_GRAFT_SCALE_CONVS overrides (the
+BASELINE.md reference table was measured at 300k convs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec",
+   "queries": {<phase/query>: sec, ...}, "sf": <sf>, ...extras}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+SPARK_GRAFT_BENCH_CONVS (headline corpus size),
+SPARK_GRAFT_SCALE_CONVS (scaling corpus size; 0 skips the scaling legs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONVS_PER_SF = 300_000          # headline corpus: sf0.1 -> ~195k turns
+DEFAULT_SCALE_CONVS = 150_000   # scaling corpus: ~1M turns
+SCALING_CPUS = (2, 8)           # N and 4N execution slots
+BENCH_SHUFFLE_PARTITIONS = 32   # fixed job config across all legs
+BENCH_BUCKETS = 32
+
+# Input-split packing tuned so task count ~ cores at bench data sizes
+# (a 100 TB table gets this ratio for free from 128 MB default splits).
+BENCH_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(128 * 1024),
+}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def fresh_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from bilies_go_spark.session import get_spark
+
+    return get_spark(
+        f"bench-local{cpus}",
+        cpus=cpus,
+        shuffle_partitions=BENCH_SHUFFLE_PARTITIONS,
+        extra_conf=BENCH_CONF,
+    )
+
+
+def gen_corpus(path: str, n_convs: int, cpus: int) -> None:
+    """Materialize + compact: ~1-2 files per day partition."""
+    from pyspark.sql import functions as F
+
+    from bilies_go_spark.corpus import assign_doc_ids, transcripts_df
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    spark = fresh_session(cpus)
+    df = assign_doc_ids(transcripts_df(spark, n_convs))
+    (
+        df.withColumn("day", F.to_date("ts"))
+        .repartition(64, "day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def build_once(cpus: int, corpus_path: str, idx: str) -> tuple[float, int]:
+    """Cold index build at local[cpus]; returns (seconds, n_turns)."""
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+
+    spark = fresh_session(cpus)
+    shutil.rmtree(idx, ignore_errors=True)
+    corpus = spark.read.parquet(corpus_path)
+    n_turns = corpus.count()  # warm scan metadata; not part of build
+    cfg = BuildConfig(n_buckets=BENCH_BUCKETS)
+    t0 = time.monotonic()
+    build_index(spark, corpus, idx, cfg)
+    sec = time.monotonic() - t0
+    log(f"  build local[{cpus}]: {n_turns} turns in {sec:.1f}s = {n_turns / sec:,.0f} turns/s")
+    return sec, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = parse_sf(sf_dir)
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(int(sf * CONVS_PER_SF), 50))))
+    scale_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", str(DEFAULT_SCALE_CONVS)))
+
+    import numpy as np
+
+    from bilies_go_spark.corpus import reference_queries
+    from bilies_go_spark.operators.query import QueryEngine
+
+    work = os.path.join(tempfile.gettempdir(), f"bgs_bench_sf{sf}")
+    os.makedirs(work, exist_ok=True)
+    queries: dict[str, float] = {}
+    extras: dict = {"sf_dir": sf_dir, "cpus": cpus, "n_convs": n_convs}
+
+    # --- headline: corpus gen (untimed) + cold build at local[cpus]
+    corpus_path = os.path.join(work, "transcripts")
+    t0 = time.monotonic()
+    gen_corpus(corpus_path, n_convs, cpus)
+    queries["corpus_materialize"] = round(time.monotonic() - t0, 3)
+    idx = os.path.join(work, f"index_c{cpus}")
+    sec_hi, n_turns = build_once(cpus, corpus_path, idx)
+    queries[f"index_build_local{cpus}"] = round(sec_hi, 3)
+    extras.update(n_turns=n_turns, turns_per_sec=round(n_turns / sec_hi, 1))
+
+    # --- query latency on the headline index
+    spark = fresh_session(cpus)
+    qset = reference_queries()
+    engine = QueryEngine(spark, idx)
+    engine.topk_pandas(qset.head(2))  # warm-up (not counted)
+    lat = []
+    for row in qset.itertuples(index=False):
+        one = qset[qset["query_id"] == row.query_id]
+        t0 = time.monotonic()
+        engine.topk_pandas(one)
+        lat.append(time.monotonic() - t0)
+    lat_arr = np.array(lat)
+    extras.update(
+        n_queries=len(lat),
+        query_p50_ms=round(float(np.percentile(lat_arr, 50)) * 1000, 1),
+        query_p95_ms=round(float(np.percentile(lat_arr, 95)) * 1000, 1),
+    )
+    queries["query_each_p95"] = round(float(np.percentile(lat_arr, 95)), 3)
+    t0 = time.monotonic()
+    engine.topk(qset, mode="distributed").collect()
+    queries["query_batch_distributed"] = round(time.monotonic() - t0, 3)
+    log(
+        f"queries: p50={extras['query_p50_ms']}ms p95={extras['query_p95_ms']}ms "
+        f"batch({len(qset)})={queries['query_batch_distributed']}s"
+    )
+
+    # --- scaling evidence: same corpus, N vs 4N execution slots, cold
+    if scale_convs > 0:
+        scale_path = os.path.join(work, f"transcripts_scale_{scale_convs}")
+        t0 = time.monotonic()
+        gen_corpus(scale_path, scale_convs, cpus)
+        queries["scale_corpus_materialize"] = round(time.monotonic() - t0, 3)
+        lo, hi = SCALING_CPUS
+        sec_lo, n_scale = build_once(lo, scale_path, os.path.join(work, f"index_scale_c{lo}"))
+        sec_4n, _ = build_once(hi, scale_path, os.path.join(work, f"index_scale_c{hi}"))
+        queries[f"scale_build_local{lo}"] = round(sec_lo, 3)
+        queries[f"scale_build_local{hi}"] = round(sec_4n, 3)
+        thr_lo, thr_hi = n_scale / sec_lo, n_scale / sec_4n
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        extras.update(
+            scale_n_turns=n_scale,
+            scale_turns_per_sec_n=round(thr_lo, 1),
+            scale_turns_per_sec_4n=round(thr_hi, 1),
+            scaling_cpus=[lo, hi],
+            scaling_efficiency=round(eff, 3),
+        )
+        log(f"scaling: local[{lo}]={thr_lo:,.0f} t/s local[{hi}]={thr_hi:,.0f} t/s eff={eff:.3f}")
+
+    value = round(sec_hi + queries["query_batch_distributed"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_topk_batch_sec",
+                "value": value,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

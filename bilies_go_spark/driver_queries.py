@@ -113,7 +113,10 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_documents_index(spark, sf_dir)
     q = bm25_queries_pdf()
     q = q.assign(k=q["k"] + BM25_KERNEL_OVERFETCH)
-    raw = topk(spark, idx, q, prune=True)
+    # distributed mode: the driver's oracle gate must exercise the full
+    # Spark plan (pruned scan + broadcast joins + kernel tasks), not
+    # the driver-local serving shortcut
+    raw = topk(spark, idx, q, prune=True, mode="distributed")
     kmap = bm25_queries_pdf()[["query_id", "k"]]
     kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
     return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
@@ -257,6 +260,13 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.multimodal import extract_features, with_blob
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return extract_features(with_blob(docs))
+
+
 # --- registry ----------------------------------------------------------------
 
 def _docs(fn):
@@ -310,5 +320,8 @@ def registry() -> dict[str, tuple]:
         "events_windowed": (q_events_windowed, events_windowed_oracle()),
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, multimodal_meta_oracle()),
+        # Arrow-batched feature extraction over binary payloads — not
+        # SQL-expressible (numpy over raw bytes); rows-only check
+        "multimodal_features": (q_multimodal_features, None),
     }
     return entries

@@ -9,9 +9,9 @@ corpus scan partition-prunes — the date-suffix routing of
 /root/reference/batcher.go:91 reborn as partition pruning):
 
     corpus chunk -> quarantine split -> mapInPandas doc-local tf
-    -> (term, doc_id, tf, dl) -> single shuffle on (term_bucket, spread)
-    -> write runs/ partitioned by (build_part, term_bucket) with
-       dynamic partition overwrite -> lineage ack per part
+    -> (term, doc_id, tf, dl) -> single shuffle on (build_part, spread)
+    -> write runs/ partitioned by build_part (the resume/overwrite
+       unit) with dynamic partition overwrite -> lineage ack per part
 
   Doc-local tf (pandas value_counts per Arrow batch) means the ONLY
   shuffle of the token stream is the bucket repartition: tf compression
@@ -80,13 +80,15 @@ def split_poison(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     skip-poison contract of /root/reference/requester.go:112-116.
 
     Returns (clean, quarantined-with-reason)."""
-    from bilies_go_spark.functions.tokenize import tokenize_col
-
+    # "no tokens" == no ASCII alnum character anywhere — a single rlike
+    # probe instead of a full tokenize+size pass (the tokenizer's token
+    # class is exactly [a-z0-9] on lowercased text, so the predicates
+    # agree); this runs inline in every build scan, so it must be cheap
     reason = (
         F.when(F.col("doc_id").isNull(), "null_doc_id")
         .when(F.col("text").isNull(), "null_text")
         .when(F.length("text") == 0, "empty_text")
-        .when(F.size(tokenize_col("text")) == 0, "no_tokens")
+        .when(~F.col("text").rlike("[a-zA-Z0-9]"), "no_tokens")
         .otherwise(None)
     )
     tagged = corpus.withColumn("_reason", reason)
@@ -182,8 +184,9 @@ class BuildConfig:
     n_buckets: int = 16
     block_size: int = DEFAULT_BLOCK_SIZE
     target_postings_per_salt: int = 250_000
-    # tasks a single hot bucket's runs spread across in the stage-A shuffle
-    bucket_spread: int = 4
+    # tasks a single hot (build_part, bucket) dir spreads across in the
+    # stage-A shuffle; also the files-per-dir bound
+    bucket_spread: int = 2
     parts_per_chunk: int | None = None  # None = all pending in one chunk
     buckets_per_chunk: int | None = None
     build_part_expr: str = "date_format(ts, 'yyyy-MM-dd')"
@@ -229,43 +232,42 @@ def build_runs(
     for chunk in chunks:
         with StageTimer() as t:
             sub = clean.filter(F.col("build_part").isin(chunk))
-            runs = (
-                sub.select("build_part", "doc_id", "text")
-                .mapInPandas(_doc_local_tf, schema=RUNS_SCHEMA)
-                .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
+            runs = sub.select("build_part", "doc_id", "text").mapInPandas(
+                _doc_local_tf, schema=RUNS_SCHEMA
             )
-            # the one token-stream shuffle: route to bucket, spread hot
-            # buckets over several tasks to avoid stragglers
+            # the one token-stream shuffle: co-locate each build_part's
+            # rows into ~spread tasks (doc-hash fan-out keeps a hot part
+            # from straggling).  Runs are partitioned on disk by
+            # build_part ONLY — that is the resume/overwrite unit; term
+            # routing is a cheap hash recomputed in stage B, and
+            # files-per-chunk stays O(parts x spread), not
+            # O(parts x buckets x spread) (a 933-file-per-2k-docs
+            # explosion in the first layout).
+            spread = max(cfg.bucket_spread, -(-2 * n_parallel // max(len(chunk), 1)))
             runs = runs.repartition(
-                max(n_parallel, cfg.n_buckets),
-                "term_bucket",
-                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.bucket_spread)),
+                max(n_parallel, len(chunk)),
+                "build_part",
+                F.pmod(F.xxhash64("doc_id"), F.lit(spread)),
             )
             tableio.write_partitioned(
-                runs, paths.runs, ["build_part", "term_bucket"], dynamic_overwrite=True
+                runs, paths.runs, ["build_part"], dynamic_overwrite=True
             )
-            # per-part doc stats for the ack ledger (exact; feeds avgdl)
+            # ack-ledger stats from the WRITTEN runs, one columnar agg —
+            # dl(doc) == sum of its tfs, so no second tokenization pass
+            # over the corpus text (2x text-scan would dominate at scale)
             stat_rows = {
                 r["build_part"]: r
-                for r in sub.select(
-                    "build_part",
-                    F.size(
-                        F.filter(
-                            F.split(F.lower("text"), TOKEN_SPLIT_RE),
-                            lambda x: x != F.lit(""),
-                        )
-                    ).alias("dl"),
-                )
-                .groupBy("build_part")
-                .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
-                .collect()
-            }
-            post_rows = {
-                r["build_part"]: r["p"]
                 for r in spark.read.parquet(paths.runs)
+                # hive partition-type inference may read build_part as
+                # DATE; the lineage ledger keys are strings — pin it
+                .withColumn("build_part", F.col("build_part").cast("string"))
                 .filter(F.col("build_part").isin(chunk))
                 .groupBy("build_part")
-                .agg(F.count("*").alias("p"))
+                .agg(
+                    F.count("*").alias("p"),
+                    F.sum("tf").alias("sum_dl"),
+                    F.countDistinct("doc_id").alias("n"),
+                )
                 .collect()
             }
         per = t.seconds / max(len(chunk), 1)
@@ -277,7 +279,7 @@ def build_runs(
                     "part": p,
                     "rows": stat_rows[p]["n"] if p in stat_rows else 0,
                     "sum_dl": stat_rows[p]["sum_dl"] if p in stat_rows else 0,
-                    "postings": post_rows.get(p, 0),
+                    "postings": stat_rows[p]["p"] if p in stat_rows else 0,
                     "seconds": per,
                 }
                 for p in chunk
@@ -306,8 +308,11 @@ def build_segments(
     for chunk in chunks:
         bucket_ids = [int(b) for b in chunk]
         with StageTimer() as t:
-            runs = spark.read.parquet(paths.runs).filter(
-                F.col("term_bucket").isin(bucket_ids)
+            runs = (
+                spark.read.parquet(paths.runs)
+                .drop("build_part")  # segment layout is bucket-keyed only
+                .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
+                .filter(F.col("term_bucket").isin(bucket_ids))
             )
             tstats = runs.groupBy("term_bucket", "term").agg(
                 F.count("*").alias("df"), F.sum("tf").alias("cf")

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
 from bilies_go_spark.operators.bm25 import query_terms_df
 from bilies_go_spark.operators.codec import decode_block, row_to_segment
-from bilies_go_spark.operators.index_build import IndexPaths, term_bucket_col
+from bilies_go_spark.operators.index_build import IndexPaths
 
 TOPK_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
 
@@ -286,6 +286,151 @@ def load_index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+class QueryEngine:
+    """Reusable query handle over a built index.
+
+    Loads the one-row corpus-stats table and index meta ONCE, and maps
+    query terms to segment buckets driver-side with the pure-Python
+    twin of the build's ``pmod(xxhash64(term), n_buckets)`` (verified
+    bit-identical to the JVM hash, functions/xxhash.py) — so each
+    ``topk`` call costs exactly one Spark job: the pruned
+    partition-and-predicate-pushed segment scan + broadcast joins +
+    per-query kernel.  This is the serving-path analogue of the
+    reference keeping its queue/cursor state resident
+    (/root/reference/queue.go:125-128) instead of re-opening per batch.
+    """
+
+    #: ``mode="auto"`` serves batches up to this size driver-locally
+    LOCAL_MAX_QUERIES = 64
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        k1: float = K1_DEFAULT,
+        b: float = B_DEFAULT,
+        prune: bool = True,
+    ):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.meta = load_index_meta(index_dir)
+        srow = spark.read.parquet(self.paths.stats_table).collect()[0]
+        self.n_docs, self.avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+        self.k1, self.b, self.prune = k1, b, prune
+        self._local_ds = None
+
+    # -- shared query-plan helpers -----------------------------------------
+
+    def _terms_and_buckets(self, queries: pd.DataFrame) -> tuple[list[str], list[int]]:
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(
+            {t for q in queries.itertuples(index=False) for t in _tokenize_terms(q.text)}
+        )
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        return terms, buckets
+
+    # -- distributed path ----------------------------------------------------
+
+    def topk_distributed(self, queries: pd.DataFrame) -> DataFrame:
+        """Cluster path: pruned segment scan + broadcast joins + one
+        kernel task per query.  Right for large query batches — the
+        per-query work parallelizes across executors."""
+        qt = query_terms_df(self.spark, queries)
+        terms, buckets = self._terms_and_buckets(queries)
+        if not terms:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+
+        segs = (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        )
+        tstats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_query_kernel(pdf, k1, b, n_docs, avgdl, prune=prune)
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    # -- driver-local serving path -------------------------------------------
+
+    def _datasets(self):
+        import pyarrow.dataset as pads
+
+        if self._local_ds is None:
+            self._local_ds = (
+                pads.dataset(self.paths.segments, partitioning="hive"),
+                pads.dataset(self.paths.term_stats, partitioning="hive"),
+            )
+        return self._local_ds
+
+    def topk_pandas(self, queries: pd.DataFrame) -> pd.DataFrame:
+        """Serving path: read only the query terms' segment rows via
+        pyarrow (term_bucket partition pruning + term predicate, no
+        Spark job) and run the same block-max kernel driver-side.
+
+        This is the low-latency point-query surface a search frontend
+        hits; the distributed path is for bulk evaluation.  Both paths
+        share ``score_query_kernel``, so rank identity between them is
+        structural.  Latency is O(bytes of the query's posting lists),
+        independent of cluster scheduling.
+        """
+        import pyarrow.dataset as pads
+
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        terms, buckets = self._terms_and_buckets(queries)
+        if not terms:
+            return empty
+        seg_ds, ts_ds = self._datasets()
+        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        seg_pdf = seg_ds.to_table(filter=filt).to_pandas()
+        ts_pdf = ts_ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
+        if seg_pdf.empty:
+            return empty
+        seg_pdf = seg_pdf.merge(ts_pdf, on="term")
+        outs = []
+        for q in queries.itertuples(index=False):
+            qterms = sorted(_tokenize_terms(q.text))
+            pdf = seg_pdf[seg_pdf["term"].isin(qterms)]
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(query_id=int(q.query_id), k=int(q.k))
+            outs.append(
+                score_query_kernel(
+                    pdf, self.k1, self.b, self.n_docs, self.avgdl, prune=self.prune
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def topk(self, queries: pd.DataFrame, mode: str = "auto") -> DataFrame:
+        """Batch top-k: one output row per (query, rank).
+
+        mode: 'local' (driver serving path), 'distributed', or 'auto'
+        (local for small batches)."""
+        if mode == "auto":
+            mode = "local" if len(queries) <= self.LOCAL_MAX_QUERIES else "distributed"
+        if mode == "distributed":
+            return self.topk_distributed(queries)
+        pdf = self.topk_pandas(queries)
+        if pdf.empty:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
+
+
+def _tokenize_terms(text: str) -> set[str]:
+    from bilies_go_spark.functions.tokenize import tokenize_py
+
+    return set(tokenize_py(text))
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -293,34 +438,8 @@ def topk(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     prune: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Batch top-k: one output row per (query, rank)."""
-    paths = IndexPaths(index_dir)
-    meta = load_index_meta(index_dir)
-    srow = spark.read.parquet(paths.stats_table).collect()[0]
-    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
-
-    qt = query_terms_df(spark, queries)
-    term_rows = qt.select("term").distinct()
-    tb = term_rows.withColumn("term_bucket", term_bucket_col("term", meta["n_buckets"]))
-    term_to_bucket = {r["term"]: int(r["term_bucket"]) for r in tb.collect()}
-    if not term_to_bucket:
-        return spark.createDataFrame([], schema=TOPK_SCHEMA)
-    buckets = sorted(set(term_to_bucket.values()))
-    terms = sorted(term_to_bucket)
-
-    segs = (
-        spark.read.parquet(paths.segments)
-        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-    )
-    tstats = (
-        spark.read.parquet(paths.term_stats)
-        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
-    )
-    joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_query_kernel(pdf, k1, b, n_docs, avgdl, prune=prune)
-
-    return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+    """One-shot batch top-k (constructs a throwaway :class:`QueryEngine`;
+    use the class directly to amortize stats/meta loading)."""
+    return QueryEngine(spark, index_dir, k1, b, prune).topk(queries, mode=mode)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 LINEAGE_SCHEMA = (
     "stage string, part string, status string, rows bigint, postings bigint, "
-    "sum_dl bigint, bytes_out bigint, seconds double, run_id string"
+    "sum_dl bigint, bytes_out bigint, seconds double, run_id string, ts double"
 )
 
 
@@ -42,16 +42,28 @@ class Lineage:
     def read(self, spark: SparkSession) -> DataFrame:
         if not self.exists():
             return spark.createDataFrame([], schema=LINEAGE_SCHEMA)
-        return spark.read.parquet(self.path)
+        df = spark.read.option("mergeSchema", "true").parquet(self.path)
+        if "ts" not in df.columns:  # ledgers written before the ts column
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.lit(0.0))
+        return df
 
     def completed(self, spark: SparkSession, stage: str) -> set[str]:
+        """Parts whose LATEST ack row is 'done' (a later 'stale' row —
+        written by :meth:`invalidate` — reopens the part)."""
         if not self.exists():
             return set()
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("part").orderBy(F.desc("ts"))
         rows = (
             self.read(spark)
-            .filter(f"stage = '{stage}' AND status = 'done'")
+            .filter(f"stage = '{stage}'")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 AND status = 'done'")
             .select("part")
-            .distinct()
             .collect()
         )
         return {r["part"] for r in rows}
@@ -77,6 +89,7 @@ class Lineage:
                     "bytes_out": int(p.get("bytes_out", 0)),
                     "seconds": float(p.get("seconds", 0.0)),
                     "run_id": self.run_id,
+                    "ts": time.time(),
                 }
                 for p in parts
             ]
@@ -84,6 +97,15 @@ class Lineage:
         spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.path)
+
+    def invalidate(self, spark: SparkSession, stage: str) -> None:
+        """Reopen every done part of a stage (append 'stale' rows) —
+        used by streaming compaction when new runs arrive after the
+        segments stage already acked."""
+        done = self.completed(spark, stage)
+        if not done:
+            return
+        self.ack(spark, stage, [{"part": p, "status": "stale"} for p in sorted(done)])
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         """Per-part build metrics: docs/sec, postings/sec, bytes out —

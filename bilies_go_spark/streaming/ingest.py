@@ -1,0 +1,164 @@
+"""Structured-Streaming ingest: the reference daemon's true Spark twin.
+
+bilies-go IS a streaming ingester: stdin lines -> durable queue ->
+batch accumulate (500 rows / 1 s flush) -> bulk POST -> ack
+(/root/reference/reader.go:82-116, queue.go:115-205,
+batcher.go:76-128, requester.go:126-129).  Structured Streaming gives
+every piece natively:
+
+* stdin source + durable queue  -> file/`rate` source + checkpoint WAL
+  (offsets survive restarts exactly like the LevelDB read cursor,
+  /root/reference/queue.go:125-128);
+* batch accumulate-and-flush    -> micro-batches
+  (``Trigger.processingTime`` is the 1 s flushDelay,
+  ``maxFilesPerTrigger`` the batch-size knob);
+* bulk POST + ack               -> ``foreachBatch`` writing posting
+  RUNS for the batch (idempotent dynamic-partition overwrite on the
+  deterministic part key ``stream-<batch_id>``) then acking lineage —
+  at-least-once replay + idempotent overwrite = effective exactly-once,
+  the stable-``_id`` argument of /root/reference/batcher.go:91.
+
+Query-side freshness comes from :func:`compact`: invalidate the
+segments ledger, re-run the (bucket-chunked, resumable) segment merge
+over all runs, refresh corpus stats.  This is the LSM shape: streaming
+appends sorted runs, compaction folds them into serving segments —
+the same merge machinery the batch build uses (operators/index_build).
+
+Rows must arrive with ``doc_id`` already assigned (streaming global
+row_number is ill-defined; at 10^12-turn scale ids come from the
+upstream (conv_id, turn_idx) contract, corpus.assign_doc_ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bilies_go_spark.operators.index_build import (
+    RUNS_SCHEMA,
+    BuildConfig,
+    IndexPaths,
+    _doc_local_tf,
+    build_segments,
+    finalize_stats,
+    split_poison,
+    write_index_meta,
+)
+from bilies_go_spark.plans.lineage import Lineage, StageTimer
+from bilies_go_spark.sources import tableio
+
+STREAM_PART_FMT = "stream-{batch_id:08d}"
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    paths: IndexPaths,
+    cfg: BuildConfig,
+    lineage: Lineage,
+) -> None:
+    """foreachBatch body: one micro-batch -> one runs partition + ack.
+
+    Replays of the same ``batch_id`` (after a crash between write and
+    checkpoint commit) overwrite the same partition — idempotent."""
+    part = STREAM_PART_FMT.format(batch_id=batch_id)
+    tagged = batch_df.withColumn("build_part", F.lit(part))
+    clean, poison = split_poison(tagged)
+    with StageTimer() as t:
+        runs = clean.select("build_part", "doc_id", "text").mapInPandas(
+            _doc_local_tf, schema=RUNS_SCHEMA
+        )
+        tableio.write_partitioned(runs, paths.runs, ["build_part"], dynamic_overwrite=True)
+        poison_rows = poison.drop("build_part")
+        poison_rows.write.mode("append").parquet(paths.quarantine)
+        stats = (
+            spark.read.parquet(paths.runs)
+            .withColumn("build_part", F.col("build_part").cast("string"))
+            .filter(F.col("build_part") == part)
+            .groupBy()
+            .agg(
+                F.count("*").alias("p"),
+                F.sum("tf").alias("sum_dl"),
+                F.countDistinct("doc_id").alias("n"),
+            )
+            .collect()[0]
+        )
+    lineage.ack(
+        spark,
+        "runs",
+        [
+            {
+                "part": part,
+                "rows": stats["n"] or 0,
+                "sum_dl": stats["sum_dl"] or 0,
+                "postings": stats["p"] or 0,
+                "seconds": t.seconds,
+            }
+        ],
+    )
+    tableio.commit_snapshot(
+        paths.runs, {"stage": "runs", "parts": [part], "run_id": lineage.run_id}
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Tail a directory of transcript parquet files into posting runs.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-and-stop,
+    the EOF behavior of the reference's reader); pass
+    ``{"processingTime": "1 second"}`` for the daemon shape with the
+    reference's 1 s flush delay."""
+    from bilies_go_spark.corpus import TRANSCRIPTS_SCHEMA
+
+    cfg = cfg or BuildConfig()
+    paths = IndexPaths(index_dir)
+    lineage = Lineage(index_dir)
+    write_index_meta(paths, cfg)
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+
+    reader = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA + ", doc_id bigint")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+    )
+    stream = reader.parquet(source_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, batch_id, paths, cfg, lineage)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None) -> None:
+    """Fold all runs (batch-built + streamed) into serving segments.
+
+    Invalidate the segments ledger (new runs arrived since the last
+    ack), then reuse the batch build's resumable bucket-chunked merge
+    and stats finalize — the LSM compaction step."""
+    if cfg is None:
+        from bilies_go_spark.operators.query import load_index_meta
+
+        meta = load_index_meta(index_dir)
+        cfg = BuildConfig(
+            n_buckets=meta["n_buckets"],
+            block_size=meta["block_size"],
+            target_postings_per_salt=meta["target_postings_per_salt"],
+        )
+    paths = IndexPaths(index_dir)
+    lineage = Lineage(index_dir)
+    lineage.invalidate(spark, "segments")
+    build_segments(spark, paths, cfg, lineage)
+    finalize_stats(spark, paths, lineage)

@@ -1,0 +1,136 @@
+"""Operator-level tests for the training-data-pipeline suite:
+dedup (exact / Jaccard / MinHash-LSH / SimHash), ANN, text analysis.
+
+The cross-engine value checks live in the driver oracle gate
+(driver_queries + scripts/check_parity.py); these tests pin the
+*semantics*: planted near-duplicates are found, the approximate methods
+agree with their exact counterparts, scores live in their domains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bilies_go_spark.operators import ann, dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+def test_exact_groups_known_dups(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a b c", "A, b C!", "a b c d", "x y", "x  y"],
+        }
+    )
+    g = dedup.exact_groups(spark.createDataFrame(pdf)).toPandas()
+    by_keep = g.set_index("keep_doc_id")["n_docs"].to_dict()
+    assert by_keep == {1: 2, 3: 1, 4: 2}  # 1==2 and 4==5 modulo analyzer
+
+
+def test_planted_near_dups_found(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    assert len(pairs) >= 10  # the testdata plants ~25 near-dup pairs
+    assert ((pairs["jaccard"] > 0.8) | np.isclose(pairs["jaccard"], 0.8)).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def test_minhash_recall_on_high_jaccard(docs):
+    """Every truly-similar pair (J >= 0.9) must be an LSH candidate:
+    with 4 bands of 3, P(miss | J=0.9) = (1-0.9^3)^4 ~ 0.5% per pair —
+    and the planted dups sit at J~0.98 where P(miss) ~ 0.002%."""
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    cand = dedup.minhash_lsh_pairs(docs).toPandas()
+    cand_set = set(zip(cand["doc_a"], cand["doc_b"]))
+    missed = [
+        (a, b) for a, b in zip(exact["doc_a"], exact["doc_b"]) if (a, b) not in cand_set
+    ]
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} true pairs"
+
+
+def test_simhash_separates_near_dups(docs):
+    sh = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    near = dedup.ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    assert len(near) > 0
+
+    def hamming(a: int, b: int) -> int:
+        return bin(int(a) ^ int(b)).count("1")
+
+    near_d = np.array([hamming(sh[a], sh[b]) for a, b in zip(near["doc_a"], near["doc_b"])])
+    ids = sh.index.to_numpy()
+    rng = np.random.default_rng(7)
+    rand_pairs = rng.choice(ids, size=(200, 2))
+    rand_d = np.array([hamming(sh[a], sh[b]) for a, b in rand_pairs if a != b])
+    assert near_d.mean() < rand_d.mean() / 2, (near_d.mean(), rand_d.mean())
+
+
+def test_min_fingerprint_shared_by_near_dups(docs):
+    fp = dedup.min_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    near = dedup.ngram_jaccard_pairs(docs, threshold=0.95).toPandas()
+    if len(near):
+        share = np.mean([fp[a] == fp[b] for a, b in zip(near["doc_a"], near["doc_b"])])
+        assert share > 0.5  # min-hash collision prob == Jaccard >= 0.95
+
+
+def test_cosine_topk_vs_numpy(vecs):
+    got = ann.cosine_topk(vecs, n_queries=3, k=5).toPandas()
+    pdf = vecs.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    for q in range(3):
+        cos = (M @ M[q]) / (norms * norms[q])
+        cos_r = np.round(cos, 6)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -cos_r[mask]))[:5]
+        exp_ids = ids[mask][order]
+        g = got[got.query_id == q].sort_values("rank")
+        np.testing.assert_array_equal(g["vec_id"].to_numpy(), exp_ids)
+        np.testing.assert_allclose(
+            g["cosine"].to_numpy(), cos_r[mask][order], atol=2e-6
+        )
+
+
+def test_lsh_topk_is_bucket_restricted_subset(vecs):
+    buckets = ann.lsh_buckets(vecs).toPandas().set_index("vec_id")["bucket"]
+    assert buckets.between(0, 255).all()
+    lsh = ann.lsh_topk(vecs, n_queries=5, k=5).toPandas()
+    for r in lsh.itertuples(index=False):
+        assert buckets[r.vec_id] == buckets[r.query_id]
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_textstats_domains_and_python_twin(docs):
+    q = textstats.quality_scores(docs).toPandas()
+    assert q["alnum_ratio"].between(0, 1).all()
+    assert q["stop_ratio"].between(0, 1).all()
+    assert q["quality"].between(0, 1).all()
+    tc = textstats.token_counts(docs).limit(20).toPandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").limit(1000).collect()
+    }
+    import re
+
+    for r in tc.itertuples(index=False):
+        t = texts[r.doc_id]
+        assert r.n_tokens == len([x for x in re.split(r"[^a-z0-9]+", t.lower()) if x])
+        assert r.n_ws_tokens == len(t.split())
+        assert r.n_chars == len(t)
+
+
+def test_language_id_labels(docs):
+    lid = textstats.language_id(docs).toPandas()
+    assert set(lid["pred_lang"].unique()) <= {"en", "unk"}
+    assert lid["stop_ratio"].between(0, 1).all()

@@ -174,3 +174,27 @@ def test_quarantine_and_poison_rows(spark, tmp_path):
     assert stats["n_docs"] == 2
     got = topk(spark, d, pd.DataFrame({"query_id": [0], "text": ["good"], "k": [5]})).toPandas()
     assert sorted(got["doc_id"]) == [0, 4]
+
+
+def test_local_equals_distributed(spark, index_dir):
+    """The driver-local pyarrow serving path and the distributed Spark
+    path share the kernel and must agree row-for-row."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = reference_queries()
+    eng = QueryEngine(spark, index_dir)
+    key = ["query_id", "rank"]
+    loc = eng.topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    dist = (
+        eng.topk_distributed(queries).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_local_path_absent_term(spark, index_dir):
+    from bilies_go_spark.operators.query import QueryEngine
+
+    eng = QueryEngine(spark, index_dir)
+    q = pd.DataFrame({"query_id": [0], "text": ["zzzqqqxxx"], "k": [10]})
+    assert len(eng.topk_pandas(q)) == 0
+    assert eng.topk(q, mode="local").count() == 0

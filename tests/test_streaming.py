@@ -1,0 +1,107 @@
+"""Streaming ingest + compaction: the daemon contract, end to end.
+
+Covers the reference's pipeline semantics re-expressed in Structured
+Streaming (streaming/ingest.py): micro-batch runs append with
+idempotent partition overwrite, checkpointed resume, lineage acks per
+batch, LSM-style compaction, and — the acceptance bar — the streamed
+index answers queries rank-identically to a batch-built index over the
+same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bilies_go_spark.corpus import reference_queries
+from bilies_go_spark.operators.index_build import BuildConfig, build_index
+from bilies_go_spark.operators.query import QueryEngine
+from bilies_go_spark.plans.lineage import Lineage
+from bilies_go_spark.streaming.ingest import compact, start_ingest
+
+CFG = BuildConfig(n_buckets=8, block_size=32, target_postings_per_salt=200)
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    # several files so the stream sees multiple micro-batches
+    small_corpus.repartition(6).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def streamed_index(spark, source_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_idx"))
+    q = start_ingest(spark, source_dir, d, CFG, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)
+    return d
+
+
+def test_stream_batches_acked(spark, streamed_index):
+    lin = Lineage(streamed_index).read(spark)
+    runs = lin.filter("stage = 'runs' AND status = 'done'").select("part").distinct()
+    parts = sorted(r["part"] for r in runs.collect())
+    assert len(parts) >= 2, parts  # multiple micro-batches
+    assert all(p.startswith("stream-") for p in parts)
+
+
+def test_streamed_equals_batch_index(spark, small_corpus, streamed_index, tmp_path_factory):
+    batch_idx = str(tmp_path_factory.mktemp("batch_idx"))
+    build_index(spark, small_corpus, batch_idx, CFG)
+    queries = reference_queries().head(20)
+    key = ["query_id", "rank"]
+    a = (
+        QueryEngine(spark, streamed_index).topk_pandas(queries)
+        .sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        QueryEngine(spark, batch_idx).topk_pandas(queries)
+        .sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_restart_is_idempotent(spark, source_dir, streamed_index, tmp_path_factory):
+    """Re-starting the drained stream processes nothing new (the
+    checkpoint WAL is the read cursor) and leaves results unchanged."""
+    before = QueryEngine(spark, streamed_index).topk_pandas(reference_queries().head(5))
+    q = start_ingest(spark, source_dir, streamed_index, CFG, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    after = QueryEngine(spark, streamed_index).topk_pandas(reference_queries().head(5))
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_compact_after_new_data(spark, small_corpus, source_dir, tmp_path_factory):
+    """New rows streamed after a compaction are visible after the next
+    compaction — and the result matches a batch build over the union."""
+    d = str(tmp_path_factory.mktemp("grow_idx"))
+    src = str(tmp_path_factory.mktemp("grow_src"))
+    half1 = small_corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = small_corpus.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(2).write.mode("overwrite").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)
+    n1 = QueryEngine(spark, d).n_docs
+    # stream the second half into the same index
+    half2.repartition(2).write.mode("append").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)
+    eng = QueryEngine(spark, d)
+    assert eng.n_docs > n1
+    batch_idx = str(tmp_path_factory.mktemp("grow_batch"))
+    build_index(spark, small_corpus, batch_idx, CFG)
+    queries = reference_queries().head(12)
+    key = ["query_id", "rank"]
+    a = eng.topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    b = (
+        QueryEngine(spark, batch_idx).topk_pandas(queries)
+        .sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
