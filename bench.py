@@ -10,9 +10,10 @@ driver instruction): the SAME materialized corpus built cold at
 local[2] and local[8] — identical job config (shuffle partitions,
 buckets, splits), only the executor-thread count varies, exactly like
 adding executors to a fixed job.  Efficiency = (thr_8 / thr_2) / 4.
-The scaling corpus defaults to 150k convs (~1M turns) so per-core work
-dominates fixed driver costs; SPARK_GRAFT_SCALE_CONVS overrides (the
-BASELINE.md reference table was measured at 300k convs).
+The scaling legs reuse the headline corpus (sf0.1 -> ~2M turns, big
+enough that per-core work dominates fixed driver costs — the regime a
+real N-executor cluster is always in); SPARK_GRAFT_SCALE_CONVS
+overrides the size, 0 skips the legs.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <sec>, "unit": "sec",
@@ -35,8 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CONVS_PER_SF = 300_000          # headline corpus: sf0.1 -> ~195k turns
-DEFAULT_SCALE_CONVS = 150_000   # scaling corpus: ~1M turns
+CONVS_PER_SF = 3_000_000        # sf0.1 -> 300k convs ~ 2M turns
 SCALING_CPUS = (2, 8)           # N and 4N execution slots
 BENCH_SHUFFLE_PARTITIONS = 32   # fixed job config across all legs
 BENCH_BUCKETS = 32
@@ -114,7 +114,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = parse_sf(sf_dir)
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(int(sf * CONVS_PER_SF), 50))))
-    scale_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", str(DEFAULT_SCALE_CONVS)))
+    # scaling corpus: defaults to the headline corpus (one gen, three
+    # builds); 0 skips the scaling legs entirely
+    scale_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", str(n_convs)))
 
     import numpy as np
 
@@ -164,10 +166,13 @@ def main() -> None:
 
     # --- scaling evidence: same corpus, N vs 4N execution slots, cold
     if scale_convs > 0:
-        scale_path = os.path.join(work, f"transcripts_scale_{scale_convs}")
-        t0 = time.monotonic()
-        gen_corpus(scale_path, scale_convs, cpus)
-        queries["scale_corpus_materialize"] = round(time.monotonic() - t0, 3)
+        if scale_convs == n_convs:
+            scale_path = corpus_path
+        else:
+            scale_path = os.path.join(work, f"transcripts_scale_{scale_convs}")
+            t0 = time.monotonic()
+            gen_corpus(scale_path, scale_convs, cpus)
+            queries["scale_corpus_materialize"] = round(time.monotonic() - t0, 3)
         lo, hi = SCALING_CPUS
         sec_lo, n_scale = build_once(lo, scale_path, os.path.join(work, f"index_scale_c{lo}"))
         sec_4n, _ = build_once(hi, scale_path, os.path.join(work, f"index_scale_c{hi}"))

@@ -140,31 +140,68 @@ def decode_postings(seg: PostingSegment) -> tuple[np.ndarray, np.ndarray, np.nda
     return doc_ids, tfs, dls
 
 
-def decode_block(seg: PostingSegment, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode only block ``i`` of a segment (WAND skip path).
+def decode_block_range(
+    seg: PostingSegment, i0: int, i1: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks ``i0..i1`` (inclusive) in ONE vectorized pass.
 
     Uses the per-block byte offsets — the ``IndexedBuffer.Slice``
     analogue (/root/reference/indexedBuffer.go:55-59): address a
     contiguous byte range by record range without touching the rest.
+    Gap decoding works across block boundaries because gaps are
+    relative to the previous posting, whose doc id at a block start is
+    exactly ``block_last_doc_id[i0 - 1]``.
     """
     n_blocks = len(seg.block_last_doc_id)
-    if not 0 <= i < n_blocks:
-        raise IndexError(i)
+    if not (0 <= i0 <= i1 < n_blocks):
+        raise IndexError((i0, i1))
 
     def _slice(buf: bytes, offs: np.ndarray) -> np.ndarray:
-        start = int(offs[i])
-        end = int(offs[i + 1]) if i + 1 < n_blocks else len(buf)
+        start = int(offs[i0])
+        end = int(offs[i1 + 1]) if i1 + 1 < n_blocks else len(buf)
         return np.frombuffer(buf, dtype=np.uint8)[start:end]
 
     gaps = vbyte_decode(_slice(seg.doc_gaps_vb, seg.block_doc_off)).astype(np.int64)
-    base = int(seg.block_last_doc_id[i - 1]) if i > 0 else 0
+    base = int(seg.block_last_doc_id[i0 - 1]) if i0 > 0 else 0
     doc_ids = base + np.cumsum(gaps)
-    if i == 0:
-        # first gap of block 0 is absolute (base 0) by construction
-        pass
     tfs = vbyte_decode(_slice(seg.tfs_vb, seg.block_tf_off)).astype(np.int64)
     dls = vbyte_decode(_slice(seg.dls_vb, seg.block_dl_off)).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def decode_block(seg: PostingSegment, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only block ``i`` of a segment (single-block skip path)."""
+    return decode_block_range(seg, i, i)
+
+
+def decode_masked(
+    seg: PostingSegment, mask: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the selected blocks of a segment, batching consecutive
+    selected blocks into single vectorized range decodes.
+
+    ``mask=None`` or all-True short-circuits to the full-stream decode
+    (one pass, no block addressing at all)."""
+    nb = len(seg.block_last_doc_id)
+    e = np.empty(0, dtype=np.int64)
+    if nb == 0:
+        return e, e, e
+    if mask is None or mask.all():
+        return decode_postings(seg)
+    sel = np.flatnonzero(mask)
+    if sel.size == 0:
+        return e, e, e
+    brk = np.flatnonzero(np.diff(sel) > 1)
+    starts = np.concatenate([[sel[0]], sel[brk + 1]])
+    ends = np.concatenate([sel[brk], [sel[-1]]])
+    parts = [decode_block_range(seg, int(a), int(b)) for a, b in zip(starts, ends)]
+    if len(parts) == 1:
+        return parts[0]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
 
 
 def segment_to_row(term: str, salt: int, seg: PostingSegment) -> dict:

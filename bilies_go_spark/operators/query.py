@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
 from bilies_go_spark.operators.bm25 import query_terms_df
-from bilies_go_spark.operators.codec import decode_block, row_to_segment
+from bilies_go_spark.operators.codec import decode_masked, row_to_segment
 from bilies_go_spark.operators.index_build import IndexPaths
 
 TOPK_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
@@ -60,24 +60,100 @@ class KernelStats:
 
 
 def _decode_term_runs(runs: list, block_mask_per_run: list | None):
-    """Decode (selected blocks of) a term's runs; merge to sorted arrays."""
+    """Decode (selected blocks of) a term's runs; concatenated, UNSORTED.
+
+    Decoding is range-vectorized (codec.decode_masked): a full run is
+    one VByte pass, a masked run one pass per consecutive-block range —
+    never a per-block Python loop (at ~5k blocks per hot term that loop
+    was the whole query latency).  No sort: salted runs partition a
+    term's docs, so each (term, doc) appears once, and the aggregation
+    (:func:`_merge_accumulate`) sorts globally exactly once."""
     ids_parts, tf_parts, dl_parts = [], [], []
     for ri, seg in enumerate(runs):
-        nb = len(seg.block_last_doc_id)
-        sel = range(nb) if block_mask_per_run is None else np.flatnonzero(block_mask_per_run[ri])
-        for bi in sel:
-            d, t, ln = decode_block(seg, int(bi))
+        mask = None if block_mask_per_run is None else block_mask_per_run[ri]
+        d, t, ln = decode_masked(seg, mask)
+        if d.size:
             ids_parts.append(d)
             tf_parts.append(t)
             dl_parts.append(ln)
     if not ids_parts:
         e = np.empty(0, dtype=np.int64)
         return e, e, e
-    ids = np.concatenate(ids_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
-    order = np.argsort(ids, kind="stable")
-    return ids[order], tfs[order], dls[order]
+    if len(ids_parts) == 1:
+        return ids_parts[0], tf_parts[0], dl_parts[0]
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
+
+
+def _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=None):
+    """Sum per-term BM25 contributions per doc in ONE sorted pass.
+
+    Arrays concatenate in ascending-term order; the stable argsort
+    keeps each doc's entries in that order, so ``np.add.reduceat``'s
+    sequential per-segment fold reproduces the oracle's pinned
+    ascending-term float64 summation exactly.  ``cand`` (sorted) keeps
+    only complete candidates in the pruned path (docs decoded
+    incidentally with partial sums are dropped).
+    """
+    ids_parts, sc_parts = [], []
+    for t in terms:  # ascending — pinned order
+        ids, tfs, dls = decoded[t]
+        if ids.size == 0:
+            continue
+        ids_parts.append(ids)
+        sc_parts.append(per_term[t]["idf"] * _tf_norm(tfs, dls, avgdl, k1, b))
+    e = np.empty(0, dtype=np.int64)
+    if not ids_parts:
+        return e, np.empty(0, dtype=np.float64)
+    ids_all = np.concatenate(ids_parts)
+    sc_all = np.concatenate(sc_parts)
+    if cand is not None and cand.size == 0:
+        return e, np.empty(0, dtype=np.float64)
+
+    max_id = int(ids_all.max())
+    if max_id < max(1 << 22, 8 * ids_all.size):
+        # dense path: one O(n) pass.  bincount scans the input
+        # sequentially, so each doc's contributions still fold in
+        # ascending-term order (same pinned float64 semantics).
+        # Contributions are strictly positive (idf>0, tf>=1), so
+        # nonzero bins == matched docs.
+        bins = np.bincount(ids_all, weights=sc_all, minlength=max_id + 1)
+        if cand is not None:
+            mark = np.zeros(max_id + 1, dtype=bool)
+            mark[cand[cand <= max_id]] = True
+            bins = np.where(mark, bins, 0.0)
+        doc = np.flatnonzero(bins)
+        return doc, bins[doc]
+
+    # sparse path (10^12-scale doc-id spaces): sort + segmented fold
+    order = np.argsort(ids_all, kind="stable")
+    ids_s = ids_all[order]
+    sc_s = sc_all[order]
+    bnd = np.flatnonzero(np.concatenate([[True], ids_s[1:] != ids_s[:-1]]))
+    doc = ids_s[bnd]
+    acc = np.add.reduceat(sc_s, bnd)
+    if cand is not None:
+        pos = np.searchsorted(cand, doc)
+        pos_c = np.minimum(pos, cand.size - 1)
+        keep = cand[pos_c] == doc
+        doc, acc = doc[keep], acc[keep]
+    return doc, acc
+
+
+def _topk_select(doc: np.ndarray, acc: np.ndarray, k: int):
+    """Top-k indices by (score desc, doc_id asc) — partition first so
+    the O(n log n) tie-break lexsort touches only ~k rows."""
+    if doc.size > 4 * k:
+        kth = np.partition(acc, doc.size - k)[doc.size - k]
+        m = acc >= kth  # >= keeps boundary ties for exact tie-break
+        doc, acc, idx = doc[m], acc[m], np.flatnonzero(m)
+    else:
+        idx = np.arange(doc.size)
+    order = np.lexsort((doc, -acc))[:k]
+    return idx[order]
 
 
 def score_query_kernel(
@@ -121,33 +197,23 @@ def score_query_kernel(
 
     if prune and len(terms) > 1:
         cand, decoded = _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats)
+        doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=cand)
     else:
-        masks = {t: None for t in terms}
         stats.blocks_decoded += stats.blocks_total
-        decoded = {t: _decode_term_runs(per_term[t]["runs"], masks[t]) for t in terms}
-        cand = np.unique(np.concatenate([decoded[t][0] for t in terms]))
-    if cand.size == 0:
+        decoded = {t: _decode_term_runs(per_term[t]["runs"], None) for t in terms}
+        doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b)
+    if doc.size == 0:
         return pd.DataFrame(
             {"query_id": [], "rank": [], "doc_id": [], "score": []}
         ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
-    acc = np.zeros(cand.size, dtype=np.float64)
-    for term in terms:  # ascending-term accumulation: pinned order
-        ids, tfs, dls = decoded[term]
-        if ids.size == 0:
-            continue
-        pos = np.searchsorted(ids, cand)
-        pos_c = np.minimum(pos, ids.size - 1)
-        hit = ids[pos_c] == cand
-        contrib = per_term[term]["idf"] * _tf_norm(tfs[pos_c[hit]], dls[pos_c[hit]], avgdl, k1, b)
-        acc[hit] += contrib
 
-    order = np.lexsort((cand, -acc))[:k]
+    sel = _topk_select(doc, acc, k)
     return pd.DataFrame(
         {
-            "query_id": np.full(order.size, qid, dtype=np.int64),
-            "rank": np.arange(1, order.size + 1, dtype=np.int32),
-            "doc_id": cand[order],
-            "score": acc[order],
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
         }
     )
 
@@ -250,34 +316,67 @@ def _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats: KernelStats):
             mask_per_run.append(bound >= theta - 1e-12)  # keep true ties
         surviving[t] = mask_per_run
 
-    # 3. candidates from surviving blocks
-    cand_parts = []
+    # 3. decode each surviving block ONCE, keeping full triples; the
+    # candidate set is their doc union (plus all of best_term — already
+    # decoded for θ; a candidate superset is always rank-safe)
+    dec_surv: dict[str, list] = {}
+    cand_parts = [best_full[0]]
     for t in terms:
-        for ri, seg in enumerate(per_term[t]["runs"]):
-            m = surviving[t][ri]
-            if not m.any():
-                continue
-            for bi in np.flatnonzero(m):
-                d, _, _ = decode_block(seg, int(bi))
-                cand_parts.append(d)
+        parts = []
+        if t != best_term:
+            for ri, seg in enumerate(per_term[t]["runs"]):
+                m = surviving[t][ri]
+                if not m.any():
+                    continue
+                triple = decode_masked(seg, m)
+                parts.append(triple)
+                cand_parts.append(triple[0])
+        dec_surv[t] = parts
+    cand_parts = [p for p in cand_parts if p.size]
     if not cand_parts:
+        cand = np.empty(0, np.int64)
+    else:
+        tot = sum(p.size for p in cand_parts)
+        mx = max(int(p.max()) for p in cand_parts)
+        if mx < max(1 << 22, 8 * tot):  # dense union (O(n), no sort)
+            pres = np.zeros(mx + 1, dtype=bool)
+            for p in cand_parts:
+                pres[p] = True
+            cand = np.flatnonzero(pres)
+        else:
+            cand = np.unique(np.concatenate(cand_parts))
+    if cand.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, {t: (e, e, e) for t in terms}
-    cand = np.unique(np.concatenate(cand_parts))
 
-    # 4. gather: per term decode surviving ∪ candidate-containing blocks
+    # 4. gather: per term additionally decode ONLY the not-yet-decoded
+    # blocks that may contain a candidate, so every candidate's score
+    # is complete; concat order within a term is irrelevant (the
+    # aggregation sorts globally)
     decoded = {}
+    e = np.empty(0, dtype=np.int64)
     for t in terms:
         if t == best_term:
             decoded[t] = best_full  # already full — lookups complete
             continue
-        mask_per_run = []
+        parts = dec_surv[t]
+        n_extra = 0
         for ri, r in enumerate(runidx[t]):
-            m = surviving[t][ri].copy()
-            m[r.blocks_containing(cand)] = True
-            mask_per_run.append(m)
-        stats.blocks_decoded += int(sum(m.sum() for m in mask_per_run))
-        decoded[t] = _decode_term_runs(per_term[t]["runs"], mask_per_run)
+            extra = np.zeros(len(r.ub), dtype=bool)
+            extra[r.blocks_containing(cand)] = True
+            extra &= ~surviving[t][ri]
+            if extra.any():
+                parts.append(decode_masked(per_term[t]["runs"][ri], extra))
+                n_extra += int(extra.sum())
+        stats.blocks_decoded += n_extra + int(
+            sum(m.sum() for m in surviving[t])
+        )
+        if not parts:
+            decoded[t] = (e, e, e)
+        elif len(parts) == 1:
+            decoded[t] = parts[0]
+        else:
+            decoded[t] = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
     return cand, decoded
 
 
