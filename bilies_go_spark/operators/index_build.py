@@ -383,22 +383,31 @@ def build_segments(
 
 def finalize_stats(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
     """Derive exact corpus stats (N, avgdl) from the stage-A ack ledger
-    and commit them as a one-row table the query engine broadcasts."""
-    lin = lineage.read(spark).filter("stage = 'runs' AND status = 'done'")
+    and commit them as a one-row table the query engine broadcasts.
+
+    Pure driver-side work (the ledger is O(#parts) rows): no Spark job.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lin = lineage.read_pandas()
+    lin = lin[(lin["stage"] == "runs") & (lin["status"] == "done")]
     # one ack per part counts (replays append identical deterministic values)
-    rows = (
-        lin.groupBy("part")
-        .agg(F.max("rows").alias("rows"), F.max("sum_dl").alias("sum_dl"))
-        .agg(F.sum("rows").alias("n"), F.sum("sum_dl").alias("total_dl"))
-        .collect()[0]
-    )
-    n = int(rows["n"] or 0)
-    total_dl = int(rows["total_dl"] or 0)
+    per_part = lin.groupby("part").agg({"rows": "max", "sum_dl": "max"}) if len(lin) else None
+    n = int(per_part["rows"].sum()) if per_part is not None else 0
+    total_dl = int(per_part["sum_dl"].sum()) if per_part is not None else 0
     avgdl = (total_dl / n) if n else 0.0
+    schema = pa.schema(
+        [("n_docs", pa.int64()), ("total_dl", pa.int64()), ("avgdl", pa.float64())]
+    )
     pdf = pd.DataFrame([{"n_docs": n, "total_dl": total_dl, "avgdl": avgdl}])
-    spark.createDataFrame(pdf, schema="n_docs bigint, total_dl bigint, avgdl double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(paths.stats_table)
+    import shutil
+
+    shutil.rmtree(paths.stats_table, ignore_errors=True)  # drop stale layouts
+    os.makedirs(paths.stats_table, exist_ok=True)
+    tmp = os.path.join(paths.stats_table, ".stats.parquet.tmp")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(paths.stats_table, "stats.parquet"))
     tableio.commit_snapshot(paths.root, {"stage": "finalize", "n_docs": n, "avgdl": avgdl})
 
 

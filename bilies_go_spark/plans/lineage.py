@@ -49,24 +49,35 @@ class Lineage:
             df = df.withColumn("ts", F.lit(0.0))
         return df
 
+    def read_pandas(self) -> pd.DataFrame:
+        """Driver-side ledger read (the ledger is O(#parts) rows —
+        never worth a Spark job)."""
+        cols = [c.split(" ")[0] for c in LINEAGE_SCHEMA.split(", ")]
+        if not self.exists():
+            return pd.DataFrame(columns=cols)
+        import pyarrow.parquet as pq
+
+        frames = []
+        for f in sorted(os.listdir(self.path)):
+            if f.endswith(".parquet") and not f.startswith("."):
+                frames.append(pq.read_table(os.path.join(self.path, f)).to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        pdf = pd.concat(frames, ignore_index=True)
+        if "ts" not in pdf.columns:
+            pdf["ts"] = 0.0
+        pdf["ts"] = pdf["ts"].fillna(0.0)
+        return pdf
+
     def completed(self, spark: SparkSession, stage: str) -> set[str]:
         """Parts whose LATEST ack row is 'done' (a later 'stale' row —
         written by :meth:`invalidate` — reopens the part)."""
-        if not self.exists():
+        pdf = self.read_pandas()
+        pdf = pdf[pdf["stage"] == stage]
+        if not len(pdf):
             return set()
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        w = Window.partitionBy("part").orderBy(F.desc("ts"))
-        rows = (
-            self.read(spark)
-            .filter(f"stage = '{stage}'")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1 AND status = 'done'")
-            .select("part")
-            .collect()
-        )
-        return {r["part"] for r in rows}
+        last = pdf.sort_values("ts", kind="stable").groupby("part").tail(1)
+        return set(last[last["status"] == "done"]["part"])
 
     def pending(self, spark: SparkSession, stage: str, planned: list[str]) -> list[str]:
         """Resume = planned parts minus acked parts (order-preserving)."""
@@ -74,9 +85,17 @@ class Lineage:
         return [p for p in planned if p not in done]
 
     def ack(self, spark: SparkSession, stage: str, parts: list[dict]) -> None:
-        """Append 'done' rows — the DropC/prefix-delete analogue."""
+        """Append 'done' rows — the DropC/prefix-delete analogue.
+
+        Written driver-side with pyarrow (atomic tmp+rename into the
+        ledger dir): the ledger is a handful of rows per chunk, and a
+        Spark job per ack would add pure serial latency to every build
+        chunk.  Spark reads the directory fine (same schema)."""
         if not parts:
             return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         pdf = pd.DataFrame(
             [
                 {
@@ -94,9 +113,25 @@ class Lineage:
                 for p in parts
             ]
         )
-        spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        schema = pa.schema(
+            [
+                ("stage", pa.string()),
+                ("part", pa.string()),
+                ("status", pa.string()),
+                ("rows", pa.int64()),
+                ("postings", pa.int64()),
+                ("sum_dl", pa.int64()),
+                ("bytes_out", pa.int64()),
+                ("seconds", pa.float64()),
+                ("run_id", pa.string()),
+                ("ts", pa.float64()),
+            ]
+        )
+        os.makedirs(self.path, exist_ok=True)
+        name = f"ack-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(self.path, name))
 
     def invalidate(self, spark: SparkSession, stage: str) -> None:
         """Reopen every done part of a stage (append 'stale' rows) —

@@ -1,0 +1,51 @@
+"""Print the physical plans of the engine's key operators.
+
+Plan-quality checklist (run me after changing any operator):
+
+* BM25 distributed query: segments scan must show
+  ``PartitionFilters: [term_bucket IN ...]`` (partition pruning) AND
+  ``PushedFilters: [In(term, ...)]`` (predicate pushdown into parquet),
+  with BOTH stats/qterms joins as ``BroadcastHashJoin``.
+* term_stats: a single scan of (doc_id, text) — ``ReadSchema`` must not
+  include unused columns (column pruning).
+* dedup / ANN: the small sides (seeds, query vectors, hyperplanes) must
+  broadcast; nothing should sort-merge-join at fixture scale.
+
+Usage: python scripts/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from bilies_go_spark import driver_queries as dq
+    from bilies_go_spark.operators import ann, dedup
+    from bilies_go_spark.operators.query import QueryEngine
+    from bilies_go_spark.session import get_spark
+
+    spark = get_spark("explain-plans", cpus=8)
+
+    print("=== bm25 distributed (pruned scan + broadcast joins) ===")
+    idx = dq.build_documents_index(spark, sf)
+    QueryEngine(spark, idx).topk_distributed(dq.bm25_queries_pdf()).explain("formatted")
+
+    print("=== term_stats (explode + two-level agg) ===")
+    dq.q_term_stats(spark, sf).explain("formatted")
+
+    print("=== dedup minhash LSH ===")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    dedup.minhash_lsh_pairs(docs).explain("formatted")
+
+    print("=== ann cosine topk (broadcast queries) ===")
+    vecs = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    ann.cosine_topk(vecs).explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
