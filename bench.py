@@ -160,7 +160,7 @@ def main() -> None:
     )
     queries["query_each_p95"] = round(float(np.percentile(lat_arr, 95)), 3)
     t0 = time.monotonic()
-    engine.topk(qset, mode="distributed").collect()
+    engine.topk_distributed(qset, n_shards=8).collect()
     queries["query_batch_distributed"] = round(time.monotonic() - t0, 3)
     log(
         f"queries: p50={extras['query_p50_ms']}ms p95={extras['query_p95_ms']}ms "

@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
@@ -45,6 +45,123 @@ from bilies_go_spark.operators.codec import decode_masked, row_to_segment
 from bilies_go_spark.operators.index_build import IndexPaths
 
 TOPK_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
+
+# sharded-plan slice rows: only the byte streams + the decode base —
+# block metadata is not needed (shard kernels decode their whole slice)
+SEGMENT_SLICE_FIELDS = (
+    "base_doc bigint, doc_gaps_vb binary, tfs_vb binary, dls_vb binary"
+)
+
+
+def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame | None:
+    """Cut each segment row's VByte streams at block boundaries into
+    per-shard byte slices (offset arithmetic only — no decode).
+
+    A block straddling a shard boundary is emitted to every shard it
+    overlaps; the shard kernel's doc-range filter keeps each doc
+    exactly once.  ``base_doc`` carries the previous block's last doc
+    id so gap decoding restarts correctly mid-stream."""
+    out = []
+    n_shards = len(bounds) - 1
+    for row in pdf.itertuples(index=False):
+        last = np.asarray(row.block_last_doc_id, dtype=np.int64)
+        nb = last.size
+        if nb == 0:
+            continue
+        starts_doc = np.concatenate([[-1], last[:-1]]) + 1
+        offs = [
+            np.asarray(row.block_doc_off, dtype=np.int64),
+            np.asarray(row.block_tf_off, dtype=np.int64),
+            np.asarray(row.block_dl_off, dtype=np.int64),
+        ]
+        bufs = [bytes(row.doc_gaps_vb), bytes(row.tfs_vb), bytes(row.dls_vb)]
+        first_arr = np.searchsorted(last, bounds[:-1], side="left")
+        last_arr = np.searchsorted(starts_doc, bounds[1:], side="left") - 1
+        for s in range(n_shards):
+            first, last_i = int(first_arr[s]), int(last_arr[s])
+            if first > last_i or first >= nb:
+                continue
+            slices = []
+            for off, buf in zip(offs, bufs):
+                b0 = int(off[first])
+                b1 = int(off[last_i + 1]) if last_i + 1 < nb else len(buf)
+                slices.append(buf[b0:b1])
+            base = int(last[first - 1]) if first > 0 else 0
+            out.append(
+                (
+                    int(row.query_id),
+                    int(row.k),
+                    row.term,
+                    int(row.df),
+                    s,
+                    base,
+                    slices[0],
+                    slices[1],
+                    slices[2],
+                )
+            )
+    if not out:
+        return None
+    return pd.DataFrame(
+        out,
+        columns=[
+            "query_id", "k", "term", "df", "shard",
+            "base_doc", "doc_gaps_vb", "tfs_vb", "dls_vb",
+        ],
+    )
+
+
+def _score_shard(
+    pdf: pd.DataFrame, lo: int, hi: int, k1: float, b: float, n_docs: int, avgdl: float
+) -> pd.DataFrame:
+    """Exhaustively score one (query, shard): decode every slice,
+    keep docs in [lo, hi), fold in ascending-term order, shard top-k."""
+    from bilies_go_spark.operators.codec import vbyte_decode
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    terms = sorted(pdf["term"].unique())
+    per_term, decoded = {}, {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {"idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5)))}
+        parts = []
+        for r in rows.itertuples(index=False):
+            gaps = vbyte_decode(np.frombuffer(bytes(r.doc_gaps_vb), dtype=np.uint8))
+            if gaps.size == 0:
+                continue
+            ids = int(r.base_doc) + np.cumsum(gaps.astype(np.int64))
+            m = (ids >= lo) & (ids < hi)
+            if not m.any():
+                continue
+            tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
+            dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
+            parts.append((ids[m], tfs[m], dls[m]))
+        e = np.empty(0, dtype=np.int64)
+        if not parts:
+            decoded[term] = (e, e, e)
+        elif len(parts) == 1:
+            decoded[term] = parts[0]
+        else:
+            decoded[term] = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
 
 
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -431,10 +548,17 @@ class QueryEngine:
 
     # -- distributed path ----------------------------------------------------
 
-    def topk_distributed(self, queries: pd.DataFrame) -> DataFrame:
+    def topk_distributed(self, queries: pd.DataFrame, n_shards: int = 1) -> DataFrame:
         """Cluster path: pruned segment scan + broadcast joins + one
         kernel task per query.  Right for large query batches — the
-        per-query work parallelizes across executors."""
+        per-query work parallelizes across executors.
+
+        ``n_shards > 1`` switches to the doc-range-sharded plan
+        (:meth:`topk_sharded`), which parallelizes WITHIN a query —
+        the right plan when single queries touch huge posting lists
+        (hot terms at 10^12-doc scale)."""
+        if n_shards > 1:
+            return self.topk_sharded(queries, n_shards)
         qt = query_terms_df(self.spark, queries)
         terms, buckets = self._terms_and_buckets(queries)
         if not terms:
@@ -456,6 +580,78 @@ class QueryEngine:
             return score_query_kernel(pdf, k1, b, n_docs, avgdl, prune=prune)
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    # -- doc-range-sharded distributed path ------------------------------------
+
+    def topk_sharded(self, queries: pd.DataFrame, n_shards: int) -> DataFrame:
+        """Exact top-k with intra-query parallelism: doc-id-range shards.
+
+        Doc ids are dense ranks (corpus.assign_doc_ids), so equal-width
+        ranges [lo, hi) partition the docs.  A slicing ``mapInPandas``
+        stage cuts each matching segment's VByte streams at block
+        boundaries per shard (pure byte-offset arithmetic — each byte
+        is shuffled once; a block straddling a boundary goes to both
+        sides and the kernel's range filter dedups).  Each
+        (query, shard) kernel task then scores its doc range completely
+        and exactly (every posting of a doc lands in its shard), emits
+        a shard-local top-k, and a final window takes the global top-k.
+        Exact because shards partition docs; the pinned ascending-term
+        fold happens entirely inside one shard per doc.
+
+        This is the plan that survives 10^12 docs: no single task ever
+        holds a full hot-term posting list, shard fan-out scales with
+        the cluster, and the merge input is n_shards * k tiny rows.
+        """
+        qt = query_terms_df(self.spark, queries)
+        terms, buckets = self._terms_and_buckets(queries)
+        if not terms:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        segs = (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        )
+        tstats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        slice_schema = (
+            "query_id bigint, k int, term string, df bigint, shard int, "
+            + SEGMENT_SLICE_FIELDS
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard(pdf, bounds)
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+
+        def shard_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _score_shard(pdf, lo, hi, k1, b, n_docs, avgdl)
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kdf = F.broadcast(
+            self.spark.createDataFrame(
+                queries[["query_id", "k"]], schema="query_id bigint, k int"
+            )
+        )
+        return (
+            partial.drop("rank")
+            .join(kdf, "query_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
     # -- driver-local serving path -------------------------------------------
 

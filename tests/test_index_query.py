@@ -198,3 +198,21 @@ def test_local_path_absent_term(spark, index_dir):
     q = pd.DataFrame({"query_id": [0], "text": ["zzzqqqxxx"], "k": [10]})
     assert len(eng.topk_pandas(q)) == 0
     assert eng.topk(q, mode="local").count() == 0
+
+
+def test_sharded_equals_serving(spark, index_dir):
+    """Doc-range-sharded distributed plan (intra-query parallelism) is
+    exact: identical to the serving path for every query, any shard
+    count, including shard boundaries that straddle blocks."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = reference_queries().head(24)
+    eng = QueryEngine(spark, index_dir)
+    key = ["query_id", "rank"]
+    base = eng.topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    for n_shards in (3, 8):
+        sharded = (
+            eng.topk_sharded(queries, n_shards=n_shards)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(sharded, base, check_dtype=False)
