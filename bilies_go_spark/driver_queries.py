@@ -87,7 +87,13 @@ def bm25_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_dir_for(sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    import bilies_go_spark
+
+    # cache key includes the package version so a layout change never
+    # reads a stale index built by older code
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bilies_go_spark.__version__}|fmt1".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"bgs_docs_index_{h}")
 
 
@@ -314,6 +320,7 @@ def registry() -> dict[str, tuple]:
         "language_id": (_docs(textstats.language_id), textstats.language_id_oracle()),
         # similarity search over embeddings
         "ann_cosine_topk": (_embs(ann.cosine_topk), ann.cosine_topk_oracle()),
+        "dedup_embedding_cosine": (_embs(ann.cosine_pairs), ann.cosine_pairs_oracle()),
         "ann_lsh_buckets": (_embs(ann.lsh_buckets), ann.lsh_buckets_oracle()),
         "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
         # events / streaming-shaped agg

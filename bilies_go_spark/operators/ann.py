@@ -107,6 +107,50 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+COSINE_DEDUP_THRESHOLD = 0.45  # fixture-calibrated; a real near-dup run uses ~0.95
+
+
+def cosine_pairs(
+    vecs: DataFrame, threshold: float = COSINE_DEDUP_THRESHOLD
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — embedding-cosine near-duplicate pairs.
+
+    Brute self-join baseline (exact).  At 100 TB you restrict the join
+    to LSH buckets first (:func:`lsh_buckets` gives the bucket column;
+    the join key becomes (bucket) and the comparison count drops by
+    ~2^bits) — the brute path is the oracle that validates that
+    restriction's recall."""
+    v = with_norm(vecs).select("vec_id", "embedding", "norm")
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm")), 6
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_oracle(
+    table: str = "embeddings", threshold: float = COSINE_DEDUP_THRESHOLD
+) -> str:
+    dot = _duck_dot("a.embedding", "b.embedding")
+    na = _duck_dot("a.embedding", "a.embedding")
+    nb = _duck_dot("b.embedding", "b.embedding")
+    cos = duck_round(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 def lsh_buckets(vecs: DataFrame, planes: list[int] | None = None) -> DataFrame:
     """(vec_id, bucket) — 2^len(planes)-way sign-LSH bucketing.
 
