@@ -63,6 +63,21 @@ def bm25_queries_pdf() -> pd.DataFrame:
     )
 
 
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package zip to Python workers of a FOREIGN SparkSession.
+
+    The driver's verify harness passes its own session (no
+    session.get_spark), so mapInPandas/applyInPandas closures that
+    reference this package would fail to unpickle on workers without
+    this.  Idempotent; safe to call per query."""
+    try:
+        from bilies_go_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added with identical content, or local import works
+
+
 def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `documents` table as a BM25 corpus: docs with >=1 token."""
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -101,6 +116,7 @@ def build_documents_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the posting-segment index over `documents`."""
     from bilies_go_spark.operators.index_build import BuildConfig, build_index
 
+    _ensure_pyfiles(spark)
     idx = _index_dir_for(sf_dir)
     if os.path.exists(os.path.join(idx, "_index_meta.json")) and os.path.exists(
         os.path.join(idx, "corpus_stats")
@@ -116,6 +132,7 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: VByte segments + block-max pruned kernel."""
     from bilies_go_spark.operators.query import topk
 
+    _ensure_pyfiles(spark)
     idx = build_documents_index(spark, sf_dir)
     q = bm25_queries_pdf()
     q = q.assign(k=q["k"] + BM25_KERNEL_OVERFETCH)
@@ -269,6 +286,7 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bilies_go_spark.operators.multimodal import extract_features, with_blob
 
+    _ensure_pyfiles(spark)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return extract_features(with_blob(docs))
 
