@@ -288,7 +288,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_pyfiles(spark)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return extract_features(with_blob(docs))
+    raw = extract_features(with_blob(docs))
+    return raw.select(
+        "doc_id",
+        "n_bytes",
+        F.round("mean_byte", ROUND_DIGITS).alias("mean_byte"),
+        F.round("std_byte", ROUND_DIGITS).alias("std_byte"),
+        F.round("entropy", ROUND_DIGITS).alias("entropy"),
+    )
+
+
+# Bytes are recoverable in ANSI SQL via hex(encode(text)): the hex digit
+# at position 2i+1 is byte i's high nibble (the histogram bin), 2i+2 the
+# low nibble.  Integer sums are exact, so mean/std divisions are
+# IEEE-identical to the kernel's; entropy's <=16-term fold differs only
+# below round(.,6) resolution.
+_MM_BYTES_CTE = """
+h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+by_h AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', substring(hx, 2 * g.i + 1, 1)) - 1) AS hi,
+         (strpos('0123456789ABCDEF', substring(hx, 2 * g.i + 2, 1)) - 1) AS lo
+  FROM h, unnest(generate_series(0, n - 1)) AS g(i)
+)"""
+
+
+def multimodal_features_oracle() -> str:
+    mean = "CAST(a.s AS DOUBLE) / h.n"
+    var = f"greatest(CAST(a.ss AS DOUBLE) / h.n - ({mean}) * ({mean}), 0.0)"
+    return f"""
+WITH {_MM_BYTES_CTE},
+b AS (SELECT doc_id, n, hi, hi * 16 + lo AS byte FROM by_h),
+agg AS (
+  SELECT doc_id, CAST(sum(byte) AS BIGINT) AS s, CAST(sum(byte * byte) AS BIGINT) AS ss
+  FROM b GROUP BY 1
+),
+hist AS (SELECT doc_id, hi AS bin, count(*) AS c FROM b GROUP BY 1, 2),
+ent AS (
+  SELECT hist.doc_id,
+         sum(-(c * 1.0 / h.n) * log2(c * 1.0 / h.n)) AS entropy
+  FROM hist JOIN h ON h.doc_id = hist.doc_id GROUP BY 1
+)
+SELECT h.doc_id, CAST(h.n AS INT) AS n_bytes,
+       {duck_round(f'coalesce({mean}, 0.0)')} AS mean_byte,
+       {duck_round(f'coalesce(sqrt({var}), 0.0)')} AS std_byte,
+       {duck_round('coalesce(e.entropy, 0.0)')} AS entropy
+FROM h LEFT JOIN agg a ON a.doc_id = h.doc_id LEFT JOIN ent e ON e.doc_id = h.doc_id
+"""
+
+
+def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.multimodal import byte_histogram, with_blob
+
+    _ensure_pyfiles(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = byte_histogram(with_blob(docs))
+    return raw.select("doc_id", "bin", F.round("frac", ROUND_DIGITS).alias("frac"))
+
+
+def multimodal_histogram_oracle() -> str:
+    from bilies_go_spark.operators.multimodal import N_HIST_BINS
+
+    return f"""
+WITH {_MM_BYTES_CTE},
+hist AS (SELECT doc_id, hi AS bin, count(*) AS c FROM by_h GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, {N_HIST_BINS - 1})) AS bin)
+SELECT h.doc_id, CAST(bins.bin AS INT) AS bin,
+       {duck_round('coalesce(hist.c * 1.0 / h.n, 0.0)')} AS frac
+FROM h CROSS JOIN bins
+LEFT JOIN hist ON hist.doc_id = h.doc_id AND hist.bin = bins.bin
+"""
 
 
 # --- registry ----------------------------------------------------------------
@@ -345,8 +415,9 @@ def registry() -> dict[str, tuple]:
         "events_windowed": (q_events_windowed, events_windowed_oracle()),
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, multimodal_meta_oracle()),
-        # Arrow-batched feature extraction over binary payloads — not
-        # SQL-expressible (numpy over raw bytes); rows-only check
-        "multimodal_features": (q_multimodal_features, None),
+        # Arrow-batched feature extraction over binary payloads; the
+        # oracle recovers bytes in SQL via hex(encode(text))
+        "multimodal_features": (q_multimodal_features, multimodal_features_oracle()),
+        "multimodal_histogram": (q_multimodal_histogram, multimodal_histogram_oracle()),
     }
     return entries

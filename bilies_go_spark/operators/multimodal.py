@@ -37,10 +37,13 @@ from pyspark.sql import functions as F
 
 N_HIST_BINS = 16
 
-FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, mean_byte double, std_byte double, "
-    "entropy double, histogram array<double>"
-)
+# Scalar features one row per blob; the histogram is a SEPARATE exploded
+# (doc_id, bin, frac) relation — flat columns only, so results are
+# canonicalizable (sortable/hashable) by any downstream comparator, and
+# both shapes are DuckDB-oracle-expressible (bytes recovered in SQL via
+# hex(encode(text))).
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, mean_byte double, std_byte double, entropy double"
+HISTOGRAM_SCHEMA = "doc_id bigint, bin int, frac double"
 DECODE_SCHEMA = "doc_id bigint, width int, height int, channels int, ok boolean"
 
 
@@ -58,27 +61,47 @@ def with_blob(docs: DataFrame, source_col: str = "text") -> DataFrame:
 
 
 def _feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-blob scalar features.  Float op order is pinned for oracle
+    parity: mean = int_sum/n, var = int_sqsum/n - mean*mean (exact
+    integer sums -> identical IEEE divisions in Spark and DuckDB),
+    entropy folds nonzero bins in ascending-bin order."""
     rows = []
     for doc_id, buf in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
         a = np.frombuffer(buf, dtype=np.uint8)
         if a.size == 0:
-            rows.append((int(doc_id), 0, 0.0, 0.0, 0.0, [0.0] * N_HIST_BINS))
+            rows.append((int(doc_id), 0, 0.0, 0.0, 0.0))
             continue
-        hist = np.bincount(a >> 4, minlength=N_HIST_BINS).astype(np.float64)
-        p = hist / hist.sum()
-        nz = p[p > 0]
+        n = int(a.size)
+        a64 = a.astype(np.int64)
+        s = int(a64.sum())
+        ss = int((a64 * a64).sum())
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        hist = np.bincount(a >> 4, minlength=N_HIST_BINS)
+        p = hist[hist > 0] / n  # ascending-bin order preserved
         rows.append(
-            (
-                int(doc_id),
-                int(a.size),
-                float(a.mean()),
-                float(a.std()),
-                float(-(nz * np.log2(nz)).sum()),
-                (hist / a.size).tolist(),
-            )
+            (int(doc_id), n, mean, float(np.sqrt(var)), float(-(p * np.log2(p)).sum()))
         )
     return pd.DataFrame(
-        rows, columns=["doc_id", "n_bytes", "mean_byte", "std_byte", "entropy", "histogram"]
+        rows, columns=["doc_id", "n_bytes", "mean_byte", "std_byte", "entropy"]
+    )
+
+
+def _histogram_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exploded nibble histogram: N_HIST_BINS rows per blob (zero bins
+    included), frac = count/n_bytes raw (callers round)."""
+    n_blobs = len(pdf)
+    hists = np.zeros((n_blobs, N_HIST_BINS), dtype=np.float64)
+    for i, buf in enumerate(pdf["payload"]):
+        a = np.frombuffer(buf, dtype=np.uint8)
+        if a.size:
+            hists[i] = np.bincount(a >> 4, minlength=N_HIST_BINS) / int(a.size)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), N_HIST_BINS),
+            "bin": np.tile(np.arange(N_HIST_BINS, dtype=np.int32), n_blobs),
+            "frac": hists.ravel(),
+        }
     )
 
 
@@ -87,7 +110,7 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 
     The numpy loop is per-BLOB (not per element): each iteration is a
     vectorized pass over one payload's bytes — the same granularity a
-    real image encoder batch has."""
+    real image encoder batch has.  Emits RAW doubles; queries round."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,6 +118,18 @@ def extract_features(blobs: DataFrame) -> DataFrame:
                 yield _feature_batch(pdf[["doc_id", "payload"]])
 
     return blobs.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def byte_histogram(blobs: DataFrame) -> DataFrame:
+    """(doc_id, bin, frac) — exploded per-blob nibble histogram, the
+    canonical flat shape for a per-channel/per-bin feature table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _histogram_batch(pdf[["doc_id", "payload"]])
+
+    return blobs.mapInPandas(gen, schema=HISTOGRAM_SCHEMA)
 
 
 def decode_image(blobs: DataFrame, fake: bool = False) -> DataFrame:

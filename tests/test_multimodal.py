@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from bilies_go_spark.operators.multimodal import (
+    N_HIST_BINS,
+    byte_histogram,
     decode_image,
     extract_features,
     with_blob,
@@ -31,11 +33,19 @@ def test_features_deterministic_and_sane(blobs):
     f = extract_features(blobs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert len(f) == blobs.count()
     assert (f["n_bytes"] > 0).all()
-    hists = np.stack(f["histogram"].to_numpy())
-    np.testing.assert_allclose(hists.sum(axis=1), 1.0, atol=1e-9)
     assert (f["entropy"] >= 0).all() and (f["entropy"] <= 4.0 + 1e-9).all()
+    assert (f["mean_byte"] > 0).all() and (f["std_byte"] >= 0).all()
     g = extract_features(blobs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert f.equals(g)  # deterministic across runs
+
+
+def test_histogram_exploded_shape(blobs):
+    h = byte_histogram(blobs).toPandas()
+    n = blobs.count()
+    assert len(h) == n * N_HIST_BINS
+    sums = h.groupby("doc_id")["frac"].sum()
+    np.testing.assert_allclose(sums.to_numpy(), 1.0, atol=1e-9)
+    assert set(h["bin"].unique()) == set(range(N_HIST_BINS))
 
 
 def test_decode_stub_contract(blobs):
