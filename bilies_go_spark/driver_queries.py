@@ -387,11 +387,14 @@ def registry() -> dict[str, tuple]:
         # BM25: oracle-checked rank identity (north_rule gate)
         "bm25_topk_brute": (bm25_brute, bm25_oracle_sql()),
         "bm25_topk_indexed": (bm25_indexed, bm25_oracle_sql()),
-        # dedup suite
+        # dedup suite.  The gated near-dup *scoring* entries are the
+        # LSH-candidate-restricted plans (linear at scale); the brute
+        # all-pairs variants stay in operators/{dedup,ann}.py as
+        # test-side recall oracles (tests/test_dedup_ann_text.py).
         "dedup_exact": (_docs(dedup.exact_groups), dedup.exact_groups_oracle()),
-        "dedup_ngram_jaccard": (
-            _docs(dedup.ngram_jaccard_pairs),
-            dedup.ngram_jaccard_oracle(),
+        "dedup_jaccard_lsh": (
+            _docs(dedup.jaccard_on_candidates),
+            dedup.jaccard_on_candidates_oracle(),
         ),
         "dedup_minhash_lsh": (
             _docs(dedup.minhash_lsh_pairs),
@@ -408,7 +411,10 @@ def registry() -> dict[str, tuple]:
         "language_id": (_docs(textstats.language_id), textstats.language_id_oracle()),
         # similarity search over embeddings
         "ann_cosine_topk": (_embs(ann.cosine_topk), ann.cosine_topk_oracle()),
-        "dedup_embedding_cosine": (_embs(ann.cosine_pairs), ann.cosine_pairs_oracle()),
+        "dedup_embedding_lsh": (
+            _embs(ann.cosine_pairs_lsh),
+            ann.cosine_pairs_lsh_oracle(),
+        ),
         "ann_lsh_buckets": (_embs(ann.lsh_buckets), ann.lsh_buckets_oracle()),
         "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
         # events / streaming-shaped agg

@@ -151,6 +151,113 @@ WHERE {cos} >= {threshold}
 """
 
 
+COSINE_LSH_BAND_BITS = 4  # 2 bands of 4 hyperplane bits each
+
+
+def _band_keys(vecs: DataFrame, planes: list[int], band_bits: int) -> DataFrame:
+    """(vec_id, band, key) — split the sign-LSH bucket into OR-amplified
+    bands (same S-curve trick as MinHash banding)."""
+    n_bands = len(planes) // band_bits
+    mask = (1 << band_bits) - 1
+    b = lsh_buckets(vecs, planes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(bucket >> {i * band_bits}) & {mask}").alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return b.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def cosine_pairs_lsh(
+    vecs: DataFrame,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+    planes: list[int] | None = None,
+    band_bits: int = COSINE_LSH_BAND_BITS,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) — near-dup pairs, candidate generation
+    restricted to banded sign-LSH collisions.  THE scale path: the only
+    self-join is an equality join on (band, key) — never all-pairs — so
+    comparisons drop by ~2^band_bits per band while banding (OR over
+    bands) recovers recall; exact cosine is scored only on candidates.
+    At production thresholds (>=0.9 cosine) per-band collision
+    probability is (1 - theta/pi)^band_bits ~ 0.75 per band; the
+    fixture's 0.45-cosine pairs are deliberately weak (recall 3/14,
+    pinned in tests against :func:`cosine_pairs`, the brute recall
+    oracle)."""
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    bands = _band_keys(vecs, planes, band_bits)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    v = with_norm(vecs).select("vec_id", "embedding", "norm")
+    scored = cand.join(
+        v.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        v.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        scored.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_lsh_oracle(
+    table: str = "embeddings",
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+    planes: list[int] | None = None,
+    band_bits: int = COSINE_LSH_BAND_BITS,
+) -> str:
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    n_bands = len(planes) // band_bits
+    mask = (1 << band_bits) - 1
+    buckets = lsh_buckets_oracle(table, planes).strip()
+    dot = _duck_dot("a.embedding", "b.embedding")
+    na = _duck_dot("a.embedding", "a.embedding")
+    nb = _duck_dot("b.embedding", "b.embedding")
+    cos = duck_round(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return f"""
+WITH bk AS ({buckets}),
+bands AS (
+  SELECT vec_id, g.band, (bucket >> (g.band * {band_bits})) & {mask} AS key
+  FROM bk, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) g
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c JOIN {table} a ON a.vec_id = c.vec_a JOIN {table} b ON b.vec_id = c.vec_b
+WHERE {cos} >= {threshold}
+"""
+
+
 def lsh_buckets(vecs: DataFrame, planes: list[int] | None = None) -> DataFrame:
     """(vec_id, bucket) — 2^len(planes)-way sign-LSH bucketing.
 

