@@ -80,15 +80,17 @@ def split_poison(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     skip-poison contract of /root/reference/requester.go:112-116.
 
     Returns (clean, quarantined-with-reason)."""
-    # "no tokens" == no ASCII alnum character anywhere — a single rlike
-    # probe instead of a full tokenize+size pass (the tokenizer's token
-    # class is exactly [a-z0-9] on lowercased text, so the predicates
-    # agree); this runs inline in every build scan, so it must be cheap
+    # "no tokens" == lower(text) has no [a-z0-9] character — EXACTLY the
+    # tokenizer's emptiness predicate (tokenize lowercases then splits
+    # on [^a-z0-9]+), including non-ASCII chars whose lower() maps into
+    # the class (U+0130 'İ' -> 'i̇', U+212A Kelvin -> 'k').  A single
+    # rlike probe instead of a full tokenize+size pass; runs inline in
+    # every build scan, so it must stay cheap.
     reason = (
         F.when(F.col("doc_id").isNull(), "null_doc_id")
         .when(F.col("text").isNull(), "null_text")
         .when(F.length("text") == 0, "empty_text")
-        .when(~F.col("text").rlike("[a-zA-Z0-9]"), "no_tokens")
+        .when(~F.lower(F.col("text")).rlike("[a-z0-9]"), "no_tokens")
         .otherwise(None)
     )
     tagged = corpus.withColumn("_reason", reason)
@@ -223,8 +225,12 @@ def build_runs(
     planned = plan_build_parts(corpus, cfg)
     pending = lineage.pending(spark, "runs", planned)
     if pending and not lineage.completed(spark, "runs"):
-        # first run: materialize the quarantine table once
-        poison.drop("build_part").write.mode("overwrite").parquet(paths.quarantine)
+        # first run: materialize the quarantine table once — partitioned
+        # by build_part (same layout the streaming path overwrites
+        # per-batch, so replays stay idempotent in both modes)
+        tableio.write_partitioned(
+            poison, paths.quarantine, ["build_part"], dynamic_overwrite=False
+        )
     chunks = _chunks(pending, cfg.parts_per_chunk)
     if max_chunks is not None:
         chunks = chunks[:max_chunks]
@@ -257,10 +263,12 @@ def build_runs(
             # over the corpus text (2x text-scan would dominate at scale)
             stat_rows = {
                 r["build_part"]: r
-                for r in spark.read.parquet(paths.runs)
-                # hive partition-type inference may read build_part as
-                # DATE; the lineage ledger keys are strings — pin it
-                .withColumn("build_part", F.col("build_part").cast("string"))
+                # schema-pinned read: the user schema types build_part
+                # as STRING, disabling hive partition-type inference
+                # entirely (DATE-/int-looking part values would
+                # otherwise canonicalize — '01' -> '1' — and miss the
+                # ledger keys, acking rows=0 and corrupting n_docs)
+                for r in spark.read.schema(RUNS_SCHEMA).parquet(paths.runs)
                 .filter(F.col("build_part").isin(chunk))
                 .groupBy("build_part")
                 .agg(
@@ -309,7 +317,7 @@ def build_segments(
         bucket_ids = [int(b) for b in chunk]
         with StageTimer() as t:
             runs = (
-                spark.read.parquet(paths.runs)
+                spark.read.schema(RUNS_SCHEMA).parquet(paths.runs)
                 .drop("build_part")  # segment layout is bucket-keyed only
                 .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
                 .filter(F.col("term_bucket").isin(bucket_ids))

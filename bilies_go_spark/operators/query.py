@@ -260,16 +260,28 @@ def _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=None):
     return doc, acc
 
 
-def _topk_select(doc: np.ndarray, acc: np.ndarray, k: int):
+def _topk_select(doc: np.ndarray, acc: np.ndarray, k: int, tie_margin: float = 0.0):
     """Top-k indices by (score desc, doc_id asc) — partition first so
-    the O(n log n) tie-break lexsort touches only ~k rows."""
-    if doc.size > 4 * k:
+    the O(n log n) tie-break lexsort touches only ~k rows.
+
+    ``tie_margin > 0`` returns ALL docs with score >= (kth raw score −
+    tie_margin) instead of exactly k: with margin = 10^-d, any doc whose
+    round(·, d) score could tie the kth doc's rounded score is included
+    (two values rounding equal differ by < 10^-d), so a downstream
+    rounded-score re-rank is exact without an arbitrary overfetch."""
+    if doc.size > max(4 * k, 64) and tie_margin == 0.0:
         kth = np.partition(acc, doc.size - k)[doc.size - k]
         m = acc >= kth  # >= keeps boundary ties for exact tie-break
         doc, acc, idx = doc[m], acc[m], np.flatnonzero(m)
+    elif doc.size > k and tie_margin > 0.0:
+        kth = np.partition(acc, doc.size - k)[doc.size - k]
+        m = acc >= kth - tie_margin
+        doc, acc, idx = doc[m], acc[m], np.flatnonzero(m)
     else:
         idx = np.arange(doc.size)
-    order = np.lexsort((doc, -acc))[:k]
+    order = np.lexsort((doc, -acc))
+    if tie_margin == 0.0:
+        order = order[:k]
     return idx[order]
 
 
@@ -281,8 +293,14 @@ def score_query_kernel(
     avgdl: float,
     prune: bool = True,
     stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
 ) -> pd.DataFrame:
-    """Score one query's segment rows -> top-k (exact)."""
+    """Score one query's segment rows -> top-k (exact).
+
+    ``tie_margin``: see :func:`_topk_select` — when > 0 the result
+    includes every doc within the margin of the kth raw score (and the
+    pruning threshold is slackened by the same margin), so a rounded
+    re-rank downstream is provably exact."""
     if pdf.empty or avgdl <= 0:
         return pd.DataFrame(
             {"query_id": [], "rank": [], "doc_id": [], "score": []}
@@ -313,7 +331,9 @@ def score_query_kernel(
         stats.blocks_total += sum(len(u) for u in ubs)
 
     if prune and len(terms) > 1:
-        cand, decoded = _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats)
+        cand, decoded = _pruned_candidates(
+            per_term, terms, k, avgdl, k1, b, stats, tie_margin=tie_margin
+        )
         doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=cand)
     else:
         stats.blocks_decoded += stats.blocks_total
@@ -324,7 +344,7 @@ def score_query_kernel(
             {"query_id": [], "rank": [], "doc_id": [], "score": []}
         ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
 
-    sel = _topk_select(doc, acc, k)
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
     return pd.DataFrame(
         {
             "query_id": np.full(sel.size, qid, dtype=np.int64),
@@ -385,7 +405,9 @@ class _RunIndex:
         return np.unique(idx)
 
 
-def _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats: KernelStats):
+def _pruned_candidates(
+    per_term, terms, k, avgdl, k1, b, stats: KernelStats, tie_margin: float = 0.0
+):
     """Block-max candidate pruning + candidate-directed gather.
 
     1. Bootstrap θ = kth best *partial* score of the highest-impact
@@ -430,7 +452,9 @@ def _pruned_candidates(per_term, terms, k, avgdl, k1, b, stats: KernelStats):
                 for ur in runidx[u]:
                     np.maximum(ou, ur.range_max(r.starts, r.ends), out=ou)
                 bound += ou
-            mask_per_run.append(bound >= theta - 1e-12)  # keep true ties
+            # keep true ties; tie_margin widens the window so rounded
+            # near-ties of the kth score are never pruned
+            mask_per_run.append(bound >= theta - tie_margin - 1e-12)
         surviving[t] = mask_per_run
 
     # 3. decode each surviving block ONCE, keeping full triples; the
@@ -526,6 +550,7 @@ class QueryEngine:
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
         prune: bool = True,
+        tie_margin: float = 0.0,
     ):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -533,6 +558,7 @@ class QueryEngine:
         srow = spark.read.parquet(self.paths.stats_table).collect()[0]
         self.n_docs, self.avgdl = int(srow["n_docs"]), float(srow["avgdl"])
         self.k1, self.b, self.prune = k1, b, prune
+        self.tie_margin = tie_margin
         self._local_ds = None
 
     # -- shared query-plan helpers -----------------------------------------
@@ -575,9 +601,12 @@ class QueryEngine:
         )
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
+        margin = self.tie_margin
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_query_kernel(pdf, k1, b, n_docs, avgdl, prune=prune)
+            return score_query_kernel(
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin
+            )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
@@ -631,7 +660,7 @@ class QueryEngine:
         sliced = joined.mapInPandas(slicer, schema=slice_schema)
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
 
-        def shard_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _score_shard(pdf, lo, hi, k1, b, n_docs, avgdl)
@@ -700,7 +729,13 @@ class QueryEngine:
             pdf = pdf.assign(query_id=int(q.query_id), k=int(q.k))
             outs.append(
                 score_query_kernel(
-                    pdf, self.k1, self.b, self.n_docs, self.avgdl, prune=self.prune
+                    pdf,
+                    self.k1,
+                    self.b,
+                    self.n_docs,
+                    self.avgdl,
+                    prune=self.prune,
+                    tie_margin=self.tie_margin,
                 )
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
@@ -734,7 +769,10 @@ def topk(
     b: float = B_DEFAULT,
     prune: bool = True,
     mode: str = "auto",
+    tie_margin: float = 0.0,
 ) -> DataFrame:
     """One-shot batch top-k (constructs a throwaway :class:`QueryEngine`;
     use the class directly to amortize stats/meta loading)."""
-    return QueryEngine(spark, index_dir, k1, b, prune).topk(queries, mode=mode)
+    return QueryEngine(spark, index_dir, k1, b, prune, tie_margin=tie_margin).topk(
+        queries, mode=mode
+    )

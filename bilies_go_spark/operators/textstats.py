@@ -60,8 +60,8 @@ FROM {table}
 """
 
 
-def _quality_cols():
-    """Shared shape of the quality score (documented once):
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, alnum_ratio, stop_ratio, mean_tok_len, quality).
 
     * ``alnum_ratio``  — [a-z0-9] chars / all chars of lower(text)
     * ``stop_ratio``   — stopword token occurrences / tokens
@@ -69,10 +69,6 @@ def _quality_cols():
     * ``quality``      — 0.5·min(n_tokens,200)/200 + 0.3·alnum_ratio
                          + 0.2·(1 − min(2·stop_ratio, 1))
     """
-
-
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, alnum_ratio, stop_ratio, mean_tok_len, quality)."""
     tk = docs.select("doc_id", F.col(text_col).alias("text"), tokenize_col(text_col).alias("tk"))
     tk = tk.filter(F.size("tk") > 0)
     stop = spark_stopword_array()

@@ -90,17 +90,17 @@ def bulk_actions(
 
     Kept as a sink-format function for drop-in compatibility with an
     Elasticsearch writer; the in-engine pipeline indexes the payload
-    itself instead of shipping it."""
-    header = F.concat(
-        F.lit('{"index":{"_id":"'),
-        F.col("id"),
-        F.lit('","_index":"'),
-        F.lit(index_prefix),
-        F.lit("-"),
-        F.col("suffix"),
-        F.lit('","_type":"'),
-        F.lit(doc_type),
-        F.lit('"}}'),
+    itself instead of shipping it.  The header is built with
+    ``to_json`` so ids containing quotes/backslashes are escaped as
+    valid JSON (raw concat would emit a malformed action line)."""
+    header = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("id").alias("_id"),
+                F.concat(F.lit(index_prefix), F.lit("-"), F.col("suffix")).alias("_index"),
+                F.lit(doc_type).alias("_type"),
+            ).alias("index")
+        )
     )
     return records.select(
         "id",

@@ -67,3 +67,25 @@ def test_bulk_action_wire_format(spark, lines):
         assert payload == docs[r.id]  # opaque passthrough, byte-for-byte
         if payload.startswith("{"):
             json.loads(payload)  # object payloads stay intact JSON
+
+
+def test_bulk_action_header_escapes_special_ids(spark):
+    """Ids containing quotes/backslashes must be JSON-escaped in the
+    action header (raw concat would emit a malformed line)."""
+    import pandas as pd
+
+    from bilies_go_spark.sources.records import bulk_actions
+
+    recs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ['we"ird', "back\\slash", "tab\tchar"],
+                "suffix": ["2026.01.02"] * 3,
+                "document": ['{"k":1}'] * 3,
+            }
+        )
+    )
+    for r in bulk_actions(recs).toPandas().itertuples(index=False):
+        head = r.action.split("\n")[0]
+        h = json.loads(head)["index"]  # parses -> escaping is valid JSON
+        assert h["_id"] == r.id
