@@ -50,7 +50,11 @@ BM25_QUERIES: list[tuple[int, str, int]] = [
     (8, "Sort, ORDER!! by", 10),    # case/punctuation normalization
     (9, "spark window group", 10),
 ]
-BM25_KERNEL_OVERFETCH = 20  # fetch k+20 raw, cut to k on rounded rank
+# rounded-rank exactness window: the kernel returns every doc within
+# 10^-ROUND_DIGITS of the kth raw score (see query._topk_select), so
+# the rounded re-rank below can never lose a boundary tie — no fixed
+# overfetch to truncate
+BM25_TIE_MARGIN = 10.0 ** (-ROUND_DIGITS)
 
 
 def bm25_queries_pdf() -> pd.DataFrame:
@@ -135,11 +139,66 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     idx = build_documents_index(spark, sf_dir)
     q = bm25_queries_pdf()
-    q = q.assign(k=q["k"] + BM25_KERNEL_OVERFETCH)
     # distributed mode: the driver's oracle gate must exercise the full
     # Spark plan (pruned scan + broadcast joins + kernel tasks), not
     # the driver-local serving shortcut
-    raw = topk(spark, idx, q, prune=True, mode="distributed")
+    raw = topk(spark, idx, q, prune=True, mode="distributed", tie_margin=BM25_TIE_MARGIN)
+    kmap = bm25_queries_pdf()[["query_id", "k"]]
+    kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def _streamed_index_dir_for(sf_dir: str) -> str:
+    import bilies_go_spark
+
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bilies_go_spark.__version__}|stream1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bgs_docs_sindex_{h}")
+
+
+def build_documents_index_streamed(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the index via the STREAMING path: write the
+    corpus as files, tail them with Structured Streaming (foreachBatch
+    LSM runs), then compact into serving segments."""
+    from bilies_go_spark.operators.index_build import BuildConfig
+    from bilies_go_spark.streaming.ingest import compact, start_ingest
+
+    _ensure_pyfiles(spark)
+    idx = _streamed_index_dir_for(sf_dir)
+    if os.path.exists(os.path.join(idx, "_index_meta.json")) and os.path.exists(
+        os.path.join(idx, "corpus_stats")
+    ):
+        return idx
+    src = idx + "_src"
+    docs = documents_corpus(spark, sf_dir).select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    cfg = BuildConfig(n_buckets=8, target_postings_per_salt=200)
+    q = start_ingest(
+        spark,
+        src,
+        idx,
+        cfg,
+        max_files_per_trigger=2,  # >1 micro-batch: exercises the LSM merge
+        schema="doc_id bigint, text string",
+    )
+    q.awaitTermination()
+    compact(spark, idx, cfg)
+    return idx
+
+
+def bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch gate: the index is built through
+    start_ingest (micro-batched runs, idempotent stream parts) +
+    compact, and must be hash-identical to the pure-SQL oracle — the
+    LSM path end-to-end under the same rank-identity contract as
+    ``bm25_topk_indexed``."""
+    from bilies_go_spark.operators.query import topk
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_streamed(spark, sf_dir)
+    q = bm25_queries_pdf()
+    raw = topk(spark, idx, q, prune=True, mode="distributed", tie_margin=BM25_TIE_MARGIN)
     kmap = bm25_queries_pdf()[["query_id", "k"]]
     kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
     return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
@@ -226,6 +285,59 @@ WITH dl AS (SELECT doc_id, len({duck_tokens()}) AS dl FROM documents)
 SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
        {duck_round('sum(dl) * 1.0 / count(*)')} AS avgdl
 FROM dl
+"""
+
+
+# --- relational star-schema join (SURVEY §2.2 join surface, executed) --------
+
+# Money is scored in integer cents: the per-row double product is
+# IEEE-identical in Spark and DuckDB (same op order), round(.,0) makes
+# it an exact integer, and BIGINT sums are order-independent — so the
+# aggregate hashes identically with no float-summation-order risk.
+_REV_CENTS_SQL = "round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)"
+
+
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: fact lineitem -> orders -> customer -> nation.
+
+    The 100 TB plan shape: the only big shuffle is fact-to-fact
+    (lineitem x orders on orderkey, AQE handles skew); customer and
+    nation are dimensions and explicitly broadcast, so no shuffle of
+    the fact stream for them (assert via scripts/explain_plans.py)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    rev_cents = F.expr(_REV_CENTS_SQL).cast("long")
+    return (
+        li.select("l_orderkey", rev_cents.alias("rev_cents"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_items"), F.sum("rev_cents").alias("revenue_cents"))
+    )
+
+
+def join_star_oracle() -> str:
+    return f"""
+SELECT n.n_name,
+       count(*) AS n_items,
+       CAST(sum(CAST({_REV_CENTS_SQL.replace('l_', 'l.l_')} AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
 """
 
 
@@ -384,9 +496,15 @@ def registry() -> dict[str, tuple]:
         "term_stats": (q_term_stats, term_stats_oracle()),
         "doc_length": (q_doc_length, doc_length_oracle()),
         "corpus_stats": (q_corpus_stats, corpus_stats_oracle()),
-        # BM25: oracle-checked rank identity (north_rule gate)
+        # BM25: oracle-checked rank identity (north_rule gate).
+        # _streamed builds its index through Structured Streaming ingest
+        # + compaction and must match the same oracle — the
+        # streaming-equals-batch proof under the driver's gate.
         "bm25_topk_brute": (bm25_brute, bm25_oracle_sql()),
         "bm25_topk_indexed": (bm25_indexed, bm25_oracle_sql()),
+        "bm25_topk_streamed": (bm25_streamed, bm25_oracle_sql()),
+        # relational star-schema join (broadcast dims + AQE fact join)
+        "join_star": (q_join_star, join_star_oracle()),
         # dedup suite.  The gated near-dup *scoring* entries are the
         # LSH-candidate-restricted plans (linear at scale); the brute
         # all-pairs variants stay in operators/{dedup,ann}.py as

@@ -73,11 +73,18 @@ def ingest_batch(
             _doc_local_tf, schema=RUNS_SCHEMA
         )
         tableio.write_partitioned(runs, paths.runs, ["build_part"], dynamic_overwrite=True)
-        poison_rows = poison.drop("build_part")
-        poison_rows.write.mode("append").parquet(paths.quarantine)
+        # quarantine keyed on the deterministic stream part + dynamic
+        # overwrite: a micro-batch REPLAY after a crash rewrites the
+        # same partition instead of appending duplicate poison rows —
+        # the same idempotence contract as the runs write above
+        tableio.write_partitioned(
+            poison, paths.quarantine, ["build_part"], dynamic_overwrite=True
+        )
         stats = (
-            spark.read.parquet(paths.runs)
-            .withColumn("build_part", F.col("build_part").cast("string"))
+            # schema-pinned read: keeps build_part a raw STRING (no hive
+            # partition-type inference), so the part filter and lineage
+            # keys always match the written directory names
+            spark.read.schema(RUNS_SCHEMA).parquet(paths.runs)
             .filter(F.col("build_part") == part)
             .groupBy()
             .agg(
@@ -113,13 +120,16 @@ def start_ingest(
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    schema: str | None = None,
 ) -> StreamingQuery:
     """Tail a directory of transcript parquet files into posting runs.
 
     ``trigger`` defaults to ``{"availableNow": True}`` (drain-and-stop,
     the EOF behavior of the reference's reader); pass
     ``{"processingTime": "1 second"}`` for the daemon shape with the
-    reference's 1 s flush delay."""
+    reference's 1 s flush delay.  ``schema`` defaults to the transcripts
+    table; any schema with (doc_id bigint, text string) works — the
+    ingest only touches those two columns."""
     from bilies_go_spark.corpus import TRANSCRIPTS_SCHEMA
 
     cfg = cfg or BuildConfig()
@@ -129,7 +139,7 @@ def start_ingest(
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
 
     reader = (
-        spark.readStream.schema(TRANSCRIPTS_SCHEMA + ", doc_id bigint")
+        spark.readStream.schema(schema or (TRANSCRIPTS_SCHEMA + ", doc_id bigint"))
         .option("maxFilesPerTrigger", max_files_per_trigger or 8)
     )
     stream = reader.parquet(source_dir)

@@ -46,6 +46,15 @@ def main() -> None:
     vecs = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
     ann.cosine_topk(vecs).explain("formatted")
 
+    print("=== join_star (broadcast dims; fact join shuffles once) ===")
+    js = dq.q_join_star(spark, sf)
+    plan = js._jdf.queryExecution().executedPlan().toString()
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= 2, f"customer+nation must broadcast, saw {n_bhj} BroadcastHashJoin"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    js.explain("formatted")
+    print(f"[ok] join_star: {n_bhj} BroadcastHashJoin, no nested-loop/cartesian joins")
+
 
 if __name__ == "__main__":
     main()

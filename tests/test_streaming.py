@@ -105,3 +105,41 @@ def test_compact_after_new_data(spark, small_corpus, source_dir, tmp_path_factor
         .sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ingest_gauges_and_percentiles(spark, source_dir, tmp_path_factory):
+    """Live gauges DURING the run (reference queue gauges,
+    /root/reference/queue.go:241-278) + percentile straggler view over
+    the ack ledger (/root/reference/metrics.go:146-154)."""
+    import time
+
+    from bilies_go_spark.plans.gauges import (
+        attach_gauges,
+        detach_gauges,
+        stage_percentiles,
+    )
+
+    d = str(tmp_path_factory.mktemp("gauge_idx"))
+    g = attach_gauges(spark)
+    try:
+        q = start_ingest(spark, source_dir, d, CFG, max_files_per_trigger=2)
+        q.awaitTermination(300)
+        # listener events are delivered asynchronously — poll briefly
+        for _ in range(40):
+            if len([r for r in g.rows if r["num_input_rows"] > 0]) >= 2:
+                break
+            time.sleep(0.25)
+    finally:
+        detach_gauges(spark, g)
+    assert g.started
+    batches = [r for r in g.rows if r["num_input_rows"] > 0]
+    assert len(batches) >= 2, g.rows  # one gauge row per micro-batch
+    assert all(r["processed_rows_per_sec"] >= 0 for r in batches)
+    assert sorted({r["batch_id"] for r in batches}) == list(range(len({r["batch_id"] for r in batches})))
+
+    compact(spark, d, CFG)
+    p = stage_percentiles(spark, Lineage(d)).toPandas().set_index("stage")
+    assert {"runs", "segments"} <= set(p.index)
+    assert (p["p95_seconds"] >= p["p50_seconds"]).all()
+    assert int(p.loc["runs", "n_parts"]) >= 2
+    assert (p["p50_docs_per_sec"] > 0).any()
