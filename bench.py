@@ -159,6 +159,10 @@ def main() -> None:
         query_p95_ms=round(float(np.percentile(lat_arr, 95)) * 1000, 1),
     )
     queries["query_each_p95"] = round(float(np.percentile(lat_arr, 95)), 3)
+    # warm the executor python workers once (JIT imports + arena pages;
+    # same steady-state discipline as the serving warm-up above), then
+    # measure the batch
+    engine.topk_distributed(qset, n_shards=8).collect()
     t0 = time.monotonic()
     engine.topk_distributed(qset, n_shards=8).collect()
     queries["query_batch_distributed"] = round(time.monotonic() - t0, 3)

@@ -59,6 +59,16 @@ def vbyte_decode(buf: np.ndarray | bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
+    nb = ends - starts
+    if nb.max() == 1:
+        # all values <= 2 bytes (< 16384: doc lengths, most gaps/tfs) —
+        # direct two-byte assembly, skipping the per-byte group-index
+        # cumsum + shift + reduceat of the general path (~3x fewer
+        # array passes on the serving-path hot decodes)
+        lo = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+        two = nb == 1
+        lo[two] |= (b[ends[two]] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7)
+        return lo
     pos = np.arange(b.size, dtype=np.int64)
     # offset of each byte within its value
     group_idx = np.cumsum(is_end) - is_end  # 0-based group id per byte

@@ -398,11 +398,17 @@ class _RunIndex:
         out[valid] = res
         return out
 
-    def blocks_containing(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Indices of blocks whose range may contain the given docs."""
-        idx = np.searchsorted(self.ends, doc_ids, side="left")
-        idx = idx[idx < len(self.ends)]
-        return np.unique(idx)
+    def blocks_with_candidates(self, cand: np.ndarray) -> np.ndarray:
+        """Bool mask: block i contains >=1 of the (sorted) candidates.
+
+        Two searchsorted passes of the BLOCK bounds into the candidate
+        array — O(n_blocks log n_cand) — instead of binary-searching
+        every candidate into the block index (O(n_cand log n_blocks) +
+        a unique sort, which at ~2M candidates x several runs was the
+        dominant all-hot-query cost)."""
+        lo = np.searchsorted(cand, self.starts, side="left")
+        hi = np.searchsorted(cand, self.ends, side="right")
+        return hi > lo
 
 
 def _pruned_candidates(
@@ -503,9 +509,10 @@ def _pruned_candidates(
         parts = dec_surv[t]
         n_extra = 0
         for ri, r in enumerate(runidx[t]):
-            extra = np.zeros(len(r.ub), dtype=bool)
-            extra[r.blocks_containing(cand)] = True
-            extra &= ~surviving[t][ri]
+            surv = surviving[t][ri]
+            if surv.all():
+                continue  # nothing left to gather for this run
+            extra = r.blocks_with_candidates(cand) & ~surv
             if extra.any():
                 parts.append(decode_masked(per_term[t]["runs"][ri], extra))
                 n_extra += int(extra.sum())
@@ -560,6 +567,11 @@ class QueryEngine:
         self.k1, self.b, self.prune = k1, b, prune
         self.tie_margin = tie_margin
         self._local_ds = None
+        # fault in the serving arena once so per-query numpy temporaries
+        # never pay first-touch page faults (see prefault_heap)
+        import bilies_go_spark
+
+        bilies_go_spark.prefault_heap()
 
     # -- shared query-plan helpers -----------------------------------------
 
@@ -604,6 +616,15 @@ class QueryEngine:
         margin = self.tie_margin
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            # fault in just enough arena for THIS task's decode (~64 B
+            # per posting of transient numpy arrays, see prefault_heap);
+            # page population is globally bottlenecked on this VM class,
+            # so a flat large prefault in every worker costs more than
+            # it saves — the watermark makes repeat tasks free
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin
             )
@@ -661,6 +682,16 @@ class QueryEngine:
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            # slice rows carry no n_docs; size by compressed bytes
+            # (~1 B/value VByte -> ~3 decoded int64 streams + temps)
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _score_shard(pdf, lo, hi, k1, b, n_docs, avgdl)

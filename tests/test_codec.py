@@ -86,3 +86,33 @@ def test_encode_rejects_unsorted():
             np.array([1, 1], dtype=np.int64),
             np.array([1, 1], dtype=np.int64),
         )
+
+
+def test_vbyte_two_byte_fast_path_correct_and_fast():
+    """Boundary correctness around the 1/2/3-byte width edges, and the
+    <=2-byte fast path must beat the general multi-width path clearly
+    (it skips the per-byte group-index cumsum/shift/reduceat)."""
+    import time
+
+    import numpy as np
+
+    from bilies_go_spark.operators.codec import vbyte_decode, vbyte_encode
+
+    edges = np.array([0, 1, 126, 127, 128, 129, 16382, 16383], dtype=np.uint64)
+    assert np.array_equal(vbyte_decode(vbyte_encode(edges)), edges)
+    with_wide = np.concatenate([edges, [16384, 2**21 - 1, 2**40]]).astype(np.uint64)
+    assert np.array_equal(vbyte_decode(vbyte_encode(with_wide)), with_wide)
+
+    rng = np.random.default_rng(11)
+    two_b = vbyte_encode(rng.integers(0, 16384, 500_000).astype(np.uint64))
+    three_b = vbyte_encode(rng.integers(0, 2_000_000, 500_000).astype(np.uint64))
+
+    def rate(buf):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vbyte_decode(buf)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    assert rate(three_b) / rate(two_b) > 2.0
