@@ -61,7 +61,7 @@ def parse_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def fresh_session(cpus: int):
+def fresh_session(cpus: int, conf: dict | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -73,7 +73,7 @@ def fresh_session(cpus: int):
         f"bench-local{cpus}",
         cpus=cpus,
         shuffle_partitions=BENCH_SHUFFLE_PARTITIONS,
-        extra_conf=BENCH_CONF,
+        extra_conf=BENCH_CONF if conf is None else conf,
     )
 
 
@@ -100,10 +100,19 @@ def build_once(cpus: int, corpus_path: str, idx: str) -> tuple[float, int]:
     """Cold index build at local[cpus]; returns (seconds, n_turns)."""
     from bilies_go_spark.operators.index_build import BuildConfig, build_index
 
+    from pyspark.sql import functions as F
+
     spark = fresh_session(cpus)
     shutil.rmtree(idx, ignore_errors=True)
     corpus = spark.read.parquet(corpus_path)
-    n_turns = corpus.count()  # warm scan metadata; not part of build
+    n_turns = corpus.count()
+    # warm the file cache with a full data scan (count() reads only
+    # row-group metadata): the legs must measure COMPUTE at each
+    # parallelism, not whether a cached corpus dir survived in the OS
+    # page cache since it was generated — the reuse-across-runs cache
+    # otherwise makes the FIRST leg pay a disk re-read the later legs
+    # don't, corrupting the scaling comparison
+    corpus.agg(F.sum(F.length("text"))).collect()
     cfg = BuildConfig(n_buckets=BENCH_BUCKETS)
     t0 = time.monotonic()
     build_index(spark, corpus, idx, cfg)
@@ -141,8 +150,11 @@ def main() -> None:
     queries[f"index_build_local{cpus}"] = round(sec_hi, 3)
     extras.update(n_turns=n_turns, turns_per_sec=round(n_turns / sec_hi, 1))
 
-    # --- query latency on the headline index
-    spark = fresh_session(cpus)
+    # --- query latency on the headline index: fresh session WITHOUT the
+    # build's tiny-split conf (6 MB splits are right for spreading the
+    # small bench corpus across 32 build tasks, but they fragment the
+    # segment scan into tiny python-worker tasks on the query side)
+    spark = fresh_session(cpus, conf={})
     qset = reference_queries()
     engine = QueryEngine(spark, idx)
     engine.topk_pandas(qset.head(2))  # warm-up (not counted)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
 from bilies_go_spark.functions.portable import ROUND_DIGITS, duck_round, duck_tokens
 from bilies_go_spark.functions.tokenize import tokenize_col, tokenize_py
-from bilies_go_spark.operators import ann, dedup, textstats
+from bilies_go_spark.operators import ann, dedup, sampling, textstats
 from bilies_go_spark.operators.bm25 import brute_force_scores
 from bilies_go_spark.operators.stats import term_postings, term_stats
 
@@ -202,6 +202,64 @@ def bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmap = bm25_queries_pdf()[["query_id", "k"]]
     kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
     return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics top-k on the posting index (candidate-driven
+    rarest-term-first kernel) — must match the pure-SQL HAVING
+    count(matched terms) = n_terms oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_conjunctive(bm25_queries_pdf())
+    kmap = bm25_queries_pdf()[["query_id", "k"]]
+    kdf = F.broadcast(spark.createDataFrame(kmap, schema="query_id bigint, k int"))
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_conjunctive_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in BM25_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN qn ON qn.query_id = q.query_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+  HAVING count(*) = max(qn.n_terms)
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
 
 
 def bm25_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
@@ -503,6 +561,8 @@ def registry() -> dict[str, tuple]:
         "bm25_topk_brute": (bm25_brute, bm25_oracle_sql()),
         "bm25_topk_indexed": (bm25_indexed, bm25_oracle_sql()),
         "bm25_topk_streamed": (bm25_streamed, bm25_oracle_sql()),
+        # AND semantics: intersection-driven kernel, HAVING-count oracle
+        "bm25_topk_conjunctive": (bm25_conjunctive, bm25_conjunctive_oracle_sql()),
         # relational star-schema join (broadcast dims + AQE fact join)
         "join_star": (q_join_star, join_star_oracle()),
         # dedup suite.  The gated near-dup *scoring* entries are the
@@ -518,7 +578,16 @@ def registry() -> dict[str, tuple]:
             _docs(dedup.minhash_lsh_pairs),
             dedup.minhash_lsh_oracle(),
         ),
+        "dedup_components": (
+            _docs(dedup.duplicate_components),
+            dedup.duplicate_components_oracle(),
+        ),
         "simhash": (_docs(dedup.simhash), dedup.simhash_oracle()),
+        # deterministic per-stratum sampling (training-data curation)
+        "stratified_sample": (
+            _docs(sampling.stratified_sample),
+            sampling.stratified_sample_oracle(),
+        ),
         "doc_fingerprint": (_docs(dedup.min_fingerprint), dedup.min_fingerprint_oracle()),
         # text analysis
         "token_counts": (_docs(textstats.token_counts), textstats.token_counts_oracle()),

@@ -316,6 +316,92 @@ WHERE {duck_round('i.inter * 1.0 / (na.ns + nb.ns - i.inter)')} >= {threshold}
 """
 
 
+def duplicate_components(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    n_hashes: int = MINHASH_N,
+    band_size: int = MINHASH_BAND_SIZE,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, component) — connected components of the near-dup graph.
+
+    Edges = :func:`jaccard_on_candidates` pairs; component = the
+    minimum doc_id reachable (so each dup GROUP gets the stable "keep"
+    id, extending exact_groups' keep-min contract to near-dups).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — converges in
+    O(graph diameter) rounds, and near-dup graphs are unions of small
+    cliques (diameter ~2), so 2-3 rounds in practice.  Each round is
+    one shuffle-join + aggregation; the only driver-side value is the
+    converged? count — the standard large-scale CC recipe (no
+    collect of nodes/edges).
+    """
+    pairs = jaccard_on_candidates(docs, threshold, n, n_hashes, band_size)
+    edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "component")
+
+
+def duplicate_components_oracle(
+    table: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = SHINGLE_N,
+    n_hashes: int = MINHASH_N,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> str:
+    pairs = jaccard_on_candidates_oracle(table, threshold, n, n_hashes, band_size).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — tf-weighted SimHash over md5 bits of terms.
 

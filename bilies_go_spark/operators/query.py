@@ -355,6 +355,109 @@ def score_query_kernel(
     )
 
 
+def _seg_blocks_with_candidates(seg, cand: np.ndarray) -> np.ndarray:
+    """Bool mask over a segment's blocks: block may contain one of the
+    (sorted) candidate doc ids.  Two binary searches of the block
+    bounds into the candidate array — O(n_blocks log n_cand)."""
+    last = seg.block_last_doc_id
+    starts = np.concatenate([[-1], last[:-1]]) + 1
+    lo = np.searchsorted(cand, starts, side="left")
+    hi = np.searchsorted(cand, last, side="right")
+    return hi > lo
+
+
+def conjunctive_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """AND-semantics top-k: only docs containing EVERY query term
+    (BM25-scored, same formula/fold order as the OR kernel).
+
+    Candidate-driven plan: the RAREST term decodes fully and seeds the
+    candidate set; every other term — visited in ascending-df order —
+    decodes only the blocks that can contain a surviving candidate and
+    intersects.  Cost is O(df_min + n_blocks_other log df_min), never
+    O(Σ df): conjunctive queries with one rare term stay cheap no
+    matter how hot the other terms are.  Expects an ``n_terms`` column
+    (the query's distinct-term count): if any term has no postings the
+    group is missing rows and the result is empty by definition.
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty  # a query term matches no document -> AND is empty
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": [row_to_segment(r) for _, r in rows.iterrows()],
+        }
+        stats.blocks_total += sum(
+            len(seg.block_last_doc_id) for seg in per_term[term]["runs"]
+        )
+
+    by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
+    rare = by_df[0]
+    decoded = {rare: _decode_term_runs(per_term[rare]["runs"], None)}
+    stats.blocks_decoded += sum(
+        len(seg.block_last_doc_id) for seg in per_term[rare]["runs"]
+    )
+    cand = np.sort(decoded[rare][0])
+    e = np.empty(0, dtype=np.int64)
+    for t in by_df[1:]:
+        if cand.size == 0:
+            return empty
+        parts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                parts.append(decode_masked(seg, mask))
+                stats.blocks_decoded += int(mask.sum())
+        if not parts:
+            return empty
+        triple = (
+            parts[0]
+            if len(parts) == 1
+            else tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+        )
+        decoded[t] = triple
+        ids_sorted = np.sort(triple[0])
+        pos = np.searchsorted(ids_sorted, cand)
+        pos = np.minimum(pos, ids_sorted.size - 1)
+        cand = cand[ids_sorted[pos] == cand]
+    if cand.size == 0:
+        return empty
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=cand)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 class _RunIndex:
     """Block ranges + a sparse table for O(1) range-max over block ubs.
 
@@ -627,6 +730,50 @@ class QueryEngine:
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_conjunctive(self, queries: pd.DataFrame) -> DataFrame:
+        """AND-semantics distributed top-k (one kernel task per query).
+
+        Same pruned-scan + broadcast-join plan as
+        :meth:`topk_distributed`; the kernel intersects instead of
+        unioning (see :func:`conjunctive_query_kernel`)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        rows = []
+        for r in queries.itertuples(index=False):
+            qts = sorted(set(tokenize_py(r.text)))
+            for t in qts:
+                rows.append((int(r.query_id), t, int(r.k), len(qts)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms"]),
+            schema="query_id bigint, term string, k int, n_terms int",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        )
+        tstats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return conjunctive_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)

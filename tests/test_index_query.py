@@ -216,3 +216,50 @@ def test_sharded_equals_serving(spark, index_dir):
             .toPandas().sort_values(key).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(sharded, base, check_dtype=False)
+
+
+def test_conjunctive_matches_brute_intersection(spark, index_dir, small_corpus):
+    """AND-kernel vs a brute intersection computed from the OR oracle's
+    score table: identical docs and scores for multi-term queries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bilies_go_spark.operators.bm25 import brute_force_scores, query_terms_df
+    from bilies_go_spark.operators.query import QueryEngine
+    from bilies_go_spark.functions.tokenize import tokenize_py
+    from bilies_go_spark.corpus import reference_queries
+
+    queries = reference_queries().head(14)
+    eng = QueryEngine(spark, index_dir)
+    got = eng.topk_conjunctive(queries).toPandas()
+
+    # brute AND: score every doc, keep docs matching ALL query terms
+    scores = brute_force_scores(spark, small_corpus, queries)
+    post = query_terms_df(spark, queries)
+    from bilies_go_spark.operators.stats import term_postings
+
+    tp = term_postings(small_corpus).select("term", "doc_id")
+    matched = (
+        tp.join(F.broadcast(post), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+    )
+    nterms = {
+        int(r.query_id): len(set(tokenize_py(r.text)))
+        for r in queries.itertuples(index=False)
+    }
+    exp = (
+        scores.join(matched, ["query_id", "doc_id"])
+        .toPandas()
+    )
+    exp = exp[exp.apply(lambda r: r["nt"] == nterms[int(r["query_id"])], axis=1)]
+    from pyspark.sql import Window
+
+    for qid, grp in exp.groupby("query_id"):
+        k = int(grp["k"].iloc[0])
+        want = grp.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert list(g["doc_id"]) == list(want["doc_id"]), f"q{qid}"
+        import numpy as np
+
+        np.testing.assert_allclose(g["score"].to_numpy(), want["score"].to_numpy(), rtol=0, atol=1e-9)
