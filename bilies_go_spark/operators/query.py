@@ -636,6 +636,47 @@ def load_index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+class _SegmentCache:
+    """Term-keyed LRU over fetched (segment ⋈ df) rows — the serving
+    node's postings cache (the role Lucene delegates to the OS page
+    cache and ES to its node query cache).  Hot terms ('the', 'of')
+    recur across a query stream; caching their segment rows removes the
+    per-query parquet fetch (the dominant fixed cost for hot queries).
+    Byte-capped LRU: at 10^12 docs a node caches its working set, never
+    the index."""
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self._d: "OrderedDict[str, tuple[pd.DataFrame, int]]" = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, term: str) -> pd.DataFrame | None:
+        hit = self._d.get(term)
+        if hit is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(term)
+        self.hits += 1
+        return hit[0]
+
+    def put(self, term: str, pdf: pd.DataFrame) -> None:
+        nb = 256 * max(len(pdf), 1)
+        for col in ("doc_gaps_vb", "tfs_vb", "dls_vb"):
+            if col in pdf.columns and len(pdf):
+                nb += int(pdf[col].str.len().sum())
+        if term in self._d:
+            self._bytes -= self._d.pop(term)[1]
+        self._d[term] = (pdf, nb)
+        self._bytes += nb
+        while self._bytes > self.max_bytes and len(self._d) > 1:
+            _, (_, old_nb) = self._d.popitem(last=False)
+            self._bytes -= old_nb
+
+
 class QueryEngine:
     """Reusable query handle over a built index.
 
@@ -661,7 +702,10 @@ class QueryEngine:
         b: float = B_DEFAULT,
         prune: bool = True,
         tie_margin: float = 0.0,
+        cache_mb: int | None = None,
     ):
+        import os as _os
+
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.meta = load_index_meta(index_dir)
@@ -670,6 +714,9 @@ class QueryEngine:
         self.k1, self.b, self.prune = k1, b, prune
         self.tie_margin = tie_margin
         self._local_ds = None
+        if cache_mb is None:
+            cache_mb = int(_os.environ.get("BGS_SEGMENT_CACHE_MB", "256"))
+        self.seg_cache = _SegmentCache(cache_mb << 20)
         # fault in the serving arena once so per-query numpy temporaries
         # never pay first-touch page faults (see prefault_heap)
         import bilies_go_spark
@@ -872,10 +919,44 @@ class QueryEngine:
             )
         return self._local_ds
 
+    def _seg_rows(self, terms: list[str]) -> pd.DataFrame:
+        """Segment rows (⋈ df) for the given terms, served from the
+        byte-capped LRU term cache; only cache misses touch parquet
+        (one pruned pyarrow read for all missing terms).  Absent terms
+        are negative-cached as empty frames."""
+        import pyarrow.dataset as pads
+
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        frames = []
+        missing = []
+        for t in terms:
+            hit = self.seg_cache.get(t)
+            if hit is None:
+                missing.append(t)
+            else:
+                frames.append(hit)
+        if missing:
+            seg_ds, ts_ds = self._datasets()
+            buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in missing})
+            filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(missing)
+            seg_pdf = seg_ds.to_table(filter=filt).to_pandas()
+            ts_pdf = ts_ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
+            seg_pdf = seg_pdf.merge(ts_pdf, on="term")
+            for t in missing:
+                rows = seg_pdf[seg_pdf["term"] == t]
+                self.seg_cache.put(t, rows)
+                frames.append(rows)
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
     def topk_pandas(self, queries: pd.DataFrame) -> pd.DataFrame:
         """Serving path: read only the query terms' segment rows via
-        pyarrow (term_bucket partition pruning + term predicate, no
-        Spark job) and run the same block-max kernel driver-side.
+        pyarrow (term_bucket partition pruning + term predicate + LRU
+        term cache, no Spark job) and run the same block-max kernel
+        driver-side.
 
         This is the low-latency point-query surface a search frontend
         hits; the distributed path is for bulk evaluation.  Both paths
@@ -883,21 +964,15 @@ class QueryEngine:
         structural.  Latency is O(bytes of the query's posting lists),
         independent of cluster scheduling.
         """
-        import pyarrow.dataset as pads
-
         empty = pd.DataFrame(
             {"query_id": [], "rank": [], "doc_id": [], "score": []}
         ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
         terms, buckets = self._terms_and_buckets(queries)
         if not terms:
             return empty
-        seg_ds, ts_ds = self._datasets()
-        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
-        seg_pdf = seg_ds.to_table(filter=filt).to_pandas()
-        ts_pdf = ts_ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
+        seg_pdf = self._seg_rows(terms)
         if seg_pdf.empty:
             return empty
-        seg_pdf = seg_pdf.merge(ts_pdf, on="term")
         outs = []
         for q in queries.itertuples(index=False):
             qterms = sorted(_tokenize_terms(q.text))

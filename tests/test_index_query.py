@@ -263,3 +263,29 @@ def test_conjunctive_matches_brute_intersection(spark, index_dir, small_corpus):
         import numpy as np
 
         np.testing.assert_allclose(g["score"].to_numpy(), want["score"].to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_segment_cache_hits_and_identical_results(spark, index_dir):
+    """The serving-path LRU term cache must be invisible to results and
+    actually serve repeats from memory."""
+    from bilies_go_spark.corpus import reference_queries
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = reference_queries().head(8)
+    eng = QueryEngine(spark, index_dir)
+    a = eng.topk_pandas(queries)
+    misses_after_first = eng.seg_cache.misses
+    b = eng.topk_pandas(queries)
+    assert eng.seg_cache.misses == misses_after_first  # all repeats hit
+    assert eng.seg_cache.hits > 0
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    # eviction under a tiny budget still returns correct results
+    small = QueryEngine(spark, index_dir, cache_mb=1)
+    c = small.topk_pandas(queries)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        c.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
