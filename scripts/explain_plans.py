@@ -55,6 +55,24 @@ def main() -> None:
     js.explain("formatted")
     print(f"[ok] join_star: {n_bhj} BroadcastHashJoin, no nested-loop/cartesian joins")
 
+    print("=== near-dup pair plans: candidate joins are equality joins ===")
+    vecs = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    for name, df in [
+        ("dedup_embedding_lsh", ann.cosine_pairs_lsh(vecs)),
+        ("dedup_jaccard_lsh", dedup.jaccard_on_candidates(docs)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only non-equality joins allowed are the deliberate
+        # broadcast fan-outs against a constant tiny side (8 hyperplane
+        # rows / n_hashes seed rows; one per self-join branch) — linear
+        # in the corpus.  The PAIR self-join must be an equality (hash)
+        # join, never all-pairs.
+        fanouts = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+        hash_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+        assert fanouts <= 2, f"{name}: {fanouts} non-equality joins"
+        assert hash_joins >= 2, f"{name}: pair/candidate joins not hash joins ({hash_joins})"
+        print(f"[ok] {name}: {hash_joins} equality joins, {fanouts} constant-side fan-out")
+
 
 if __name__ == "__main__":
     main()

@@ -289,3 +289,33 @@ def test_segment_cache_hits_and_identical_results(spark, index_dir):
         a.sort_values(["query_id", "rank"]).reset_index(drop=True),
         c.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_poison_probe_agrees_with_tokenizer_on_unicode(spark):
+    """The cheap 'no_tokens' rlike probe must agree with the tokenizer's
+    emptiness predicate even for non-ASCII chars whose lower() maps into
+    [a-z0-9] (U+0130 'İ' -> 'i' + combining dot, U+212A Kelvin -> 'k')."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bilies_go_spark.functions.tokenize import tokenize_col
+    from bilies_go_spark.operators.index_build import split_poison
+
+    texts = [
+        "İSTANBUL",      # dotted capital I -> tokens after lower()
+        "K elvin",       # Kelvin sign -> 'k'
+        "¡¿...!!",            # punctuation only -> no tokens
+        "ÆØÅ",                # lower() stays outside [a-z0-9] -> no tokens
+        "naïve café",         # accented but contains plain a-z
+        "٣٤٥",                # Arabic-Indic digits: lower() unchanged, not [0-9]
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id bigint, text string",
+    )
+    clean, poison = split_poison(df)
+    probe_poison = set(poison.toPandas()["doc_id"])
+    tok_empty = set(
+        df.filter(F.size(tokenize_col("text")) == 0).toPandas()["doc_id"]
+    )
+    assert probe_poison == tok_empty
