@@ -603,6 +603,10 @@ def registry() -> dict[str, tuple]:
             ann.cosine_pairs_lsh_oracle(),
         ),
         "ann_lsh_buckets": (_embs(ann.lsh_buckets), ann.lsh_buckets_oracle()),
+        "ann_lsh_topk_multiprobe": (
+            _embs(ann.lsh_topk_multiprobe),
+            ann.lsh_topk_multiprobe_oracle(),
+        ),
         "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
         # events / streaming-shaped agg
         "events_windowed": (q_events_windowed, events_windowed_oracle()),

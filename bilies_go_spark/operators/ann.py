@@ -339,6 +339,94 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    vecs: DataFrame,
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_LSH_K,
+    planes: list[int] | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — exact cosine over candidates
+    in the query's bucket OR any bucket at Hamming distance 1.
+
+    Multi-probe LSH: instead of growing the index (more tables) to
+    recover recall, probe the 1 + n_bits most likely buckets per query
+    — scan fraction rises from 1/2^bits to (1+bits)/2^bits while recall
+    jumps (a near neighbor differs from the query in at most a few sign
+    bits).  Candidates join on bucket EQUALITY against the exploded
+    probe set (tiny, broadcast), so the plan stays a single hash join —
+    the IVF nprobe>1 pattern."""
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    nbits = len(planes)
+    b = lsh_buckets(vecs, planes)
+    v = with_norm(vecs).join(b, "vec_id").select("vec_id", "embedding", "norm", "bucket")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probe_set = F.array(
+        F.col("q_bucket"),
+        *[F.expr(f"q_bucket ^ CAST({1 << i} AS BIGINT)") for i in range(nbits)],
+    )
+    probes = q.select(
+        "query_id", "q_emb", "q_norm", F.explode(probe_set).alias("p_bucket")
+    )
+    pairs = v.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def lsh_topk_multiprobe_oracle(
+    table: str = "embeddings",
+    n_queries: int = ANN_N_QUERIES,
+    k: int = ANN_LSH_K,
+    planes: list[int] | None = None,
+) -> str:
+    planes = planes if planes is not None else ANN_LSH_PLANES
+    nbits = len(planes)
+    buckets = lsh_buckets_oracle(table, planes).strip()
+    dot = _duck_dot("q.embedding", "c.embedding", "q.embedding")
+    qn = _duck_dot("q.embedding", "q.embedding", "q.embedding")
+    cn = _duck_dot("c.embedding", "c.embedding", "c.embedding")
+    return f"""
+WITH b AS ({buckets}),
+ve AS (SELECT e.vec_id, e.embedding, b.bucket FROM {table} e JOIN b ON e.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM ve WHERE vec_id < {n_queries}),
+bits AS (SELECT unnest(generate_series(-1, {nbits - 1})) AS i),
+probes AS (
+  SELECT q.query_id, q.embedding,
+         CASE WHEN i < 0 THEN q.bucket ELSE xor(q.bucket, (1::BIGINT << i)) END AS p_bucket
+  FROM q, bits
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {duck_round(f'{dot} / (sqrt({qn}) * sqrt({cn}))')} AS cosine
+  FROM probes q JOIN ve c ON c.bucket = q.p_bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_topk_oracle(
     table: str = "embeddings",
     n_queries: int = ANN_N_QUERIES,

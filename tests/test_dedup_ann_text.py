@@ -188,3 +188,25 @@ def test_stratified_sample_deterministic_and_calibrated(docs):
     en = a[a["lang"] == "en"]
     if len(en) > 50:
         assert abs(en["keep"].mean() - 0.5) < 0.15
+
+
+def test_multiprobe_recall_dominates_single_probe(vecs):
+    """Probing the Hamming-1 neighborhood must never lose a probe-1
+    candidate and should recover recall toward the exact top-k."""
+    from bilies_go_spark.functions.portable import ANN_LSH_K
+
+    exact = ann.cosine_topk(vecs, k=ANN_LSH_K).toPandas()
+    single = ann.lsh_topk(vecs).toPandas()
+    multi = ann.lsh_topk_multiprobe(vecs).toPandas()
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.itertuples()}
+
+    # candidate sets grow monotonically -> every probe-1 RESULT doc is
+    # still scored; it can only be displaced by a better candidate
+    assert len(multi) >= len(single)
+    exact_p = pairs(exact)
+    rec_single = len(pairs(single) & exact_p) / len(exact_p)
+    rec_multi = len(pairs(multi) & exact_p) / len(exact_p)
+    assert rec_multi >= rec_single
+    assert rec_multi > 0
