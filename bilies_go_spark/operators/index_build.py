@@ -180,6 +180,37 @@ class IndexPaths:
     def stats_table(self) -> str:
         return os.path.join(self.root, "corpus_stats")
 
+    # --- tiered (incremental) compaction layout ---------------------------
+    # tiers/<tier_id>/{segments,term_stats} hold DELTA segments built from
+    # runs parts streamed after the last full compaction; the query engine
+    # unions base + tiers (doc-disjoint, so per-(term,doc) uniqueness holds)
+
+    @property
+    def tiers_manifest(self) -> str:
+        return os.path.join(self.root, "_tiers.json")
+
+    def tier_segments(self, tier: str) -> str:
+        return os.path.join(self.root, "tiers", tier, "segments")
+
+    def tier_term_stats(self, tier: str) -> str:
+        return os.path.join(self.root, "tiers", tier, "term_stats")
+
+    def read_tiers(self) -> list[str]:
+        import json
+
+        if not os.path.exists(self.tiers_manifest):
+            return []
+        with open(self.tiers_manifest) as f:
+            return json.load(f)
+
+    def write_tiers(self, tiers: list[str]) -> None:
+        import json
+
+        tmp = self.tiers_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(set(tiers)), f)
+        os.replace(tmp, self.tiers_manifest)
+
 
 @dataclass
 class BuildConfig:
@@ -389,6 +420,58 @@ def build_segments(
     return len(chunks)
 
 
+def encode_segments(
+    spark: SparkSession,
+    runs: DataFrame,
+    seg_path: str,
+    ts_path: str,
+    cfg: BuildConfig,
+) -> None:
+    """Encode a runs DataFrame into VByte segments + term stats at the
+    given paths (single pass over all buckets, idempotent overwrite).
+    The chunked/resumable outer loop over buckets is
+    :func:`build_segments`; this is the shared inner pipeline, also
+    used by tiered compaction to encode a small DELTA of runs."""
+    runs = runs.withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
+    tstats = runs.groupBy("term_bucket", "term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    tableio.write_partitioned(
+        tstats.select("term", "df", "cf", "term_bucket"), ts_path, ["term_bucket"]
+    )
+    tstats_r = spark.read.parquet(ts_path)
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(cfg.target_postings_per_salt))
+    ).cast("int")
+    salted = (
+        runs.join(tstats_r.select("term", n_salts.alias("n_salts")), "term")
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")).cast(
+                "int"
+            ),
+        )
+        .select("term_bucket", "term", "salt", "doc_id", "tf", "dl")
+    )
+    segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
+        _make_encoder(cfg.block_size), schema=SEGMENT_SCHEMA
+    )
+    tableio.write_partitioned(segments, seg_path, ["term_bucket"])
+
+
+def pending_folds(spark: SparkSession, lineage: Lineage) -> list[str]:
+    """Runs parts whose postings are not yet folded into ANY segment
+    tier (nor the base segments)."""
+    done_runs = sorted(lineage.completed(spark, "runs"))
+    folded = lineage.completed(spark, "folded")
+    return [p for p in done_runs if p not in folded]
+
+
+def mark_folded(spark: SparkSession, lineage: Lineage, parts: list[str]) -> None:
+    if parts:
+        lineage.ack(spark, "folded", [{"part": p} for p in parts])
+
+
 def finalize_stats(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
     """Derive exact corpus stats (N, avgdl) from the stage-A ack ledger
     and commit them as a one-row table the query engine broadcasts.
@@ -438,7 +521,18 @@ def build_index(
     build_runs(spark, corpus, paths, cfg, lineage)
     build_segments(spark, paths, cfg, lineage)
     finalize_stats(spark, paths, lineage)
+    _reset_tiers(spark, paths, lineage)
     return paths
+
+
+def _reset_tiers(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
+    """After a FULL segment rebuild the base covers every runs part:
+    drop delta tiers and mark every part folded."""
+    import shutil
+
+    paths.write_tiers([])
+    shutil.rmtree(os.path.join(paths.root, "tiers"), ignore_errors=True)
+    mark_folded(spark, lineage, pending_folds(spark, lineage))
 
 
 def write_index_meta(paths: IndexPaths, cfg: BuildConfig) -> None:

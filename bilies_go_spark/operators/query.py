@@ -717,6 +717,14 @@ class QueryEngine:
         if cache_mb is None:
             cache_mb = int(_os.environ.get("BGS_SEGMENT_CACHE_MB", "256"))
         self.seg_cache = _SegmentCache(cache_mb << 20)
+        # delta tiers from incremental compaction (streaming/ingest.
+        # compact_tiered): unioned with the base segments on every path.
+        # Tiers are doc-disjoint by the append-only id contract, so the
+        # kernels' per-(term, doc) uniqueness assumption holds; global
+        # df = sum over base + tiers.  Snapshot semantics: the tier list
+        # is pinned at engine construction (rebuild the engine to see a
+        # newer compaction).
+        self.tiers = self.paths.read_tiers()
         # fault in the serving arena once so per-query numpy temporaries
         # never pay first-touch page faults (see prefault_heap)
         import bilies_go_spark
@@ -724,6 +732,43 @@ class QueryEngine:
         bilies_go_spark.prefault_heap()
 
     # -- shared query-plan helpers -----------------------------------------
+
+    def _seg_roots(self) -> list[str]:
+        roots = [self.paths.segments] + [self.paths.tier_segments(t) for t in self.tiers]
+        return [r for r in roots if os.path.isdir(r)]
+
+    def _ts_roots(self) -> list[str]:
+        roots = [self.paths.term_stats] + [
+            self.paths.tier_term_stats(t) for t in self.tiers
+        ]
+        return [r for r in roots if os.path.isdir(r)]
+
+    def _segments_df(self, terms: list[str], buckets: list[int]) -> DataFrame:
+        """Pruned segment scan over base + tier roots (unionByName; the
+        partition/predicate filters reach every root's parquet scan)."""
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.parquet(p).filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            for p in self._seg_roots()
+        ]
+        return reduce(DataFrame.unionByName, dfs)
+
+    def _tstats_df(self, terms: list[str], buckets: list[int]) -> DataFrame:
+        """(term, df) with df summed across base + tiers — the GLOBAL
+        document frequency the BM25 idf needs."""
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.parquet(p)
+            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+            for p in self._ts_roots()
+        ]
+        u = reduce(DataFrame.unionByName, dfs)
+        return u.groupBy("term").agg(F.sum("df").alias("df"))
 
     def _terms_and_buckets(self, queries: pd.DataFrame) -> tuple[list[str], list[int]]:
         from bilies_go_spark.functions.xxhash import term_bucket_py
@@ -752,15 +797,8 @@ class QueryEngine:
         if not terms:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
 
-        segs = (
-            self.spark.read.parquet(self.paths.segments)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        )
-        tstats = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-        )
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
         margin = self.tie_margin
@@ -801,15 +839,8 @@ class QueryEngine:
             schema="query_id bigint, term string, k int, n_terms int",
         )
         terms, buckets = self._terms_and_buckets(queries)
-        segs = (
-            self.spark.read.parquet(self.paths.segments)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        )
-        tstats = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-        )
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
         margin = self.tie_margin
@@ -850,15 +881,8 @@ class QueryEngine:
         terms, buckets = self._terms_and_buckets(queries)
         if not terms:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        segs = (
-            self.spark.read.parquet(self.paths.segments)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        )
-        tstats = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-        )
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
         slice_schema = (
@@ -914,8 +938,8 @@ class QueryEngine:
 
         if self._local_ds is None:
             self._local_ds = (
-                pads.dataset(self.paths.segments, partitioning="hive"),
-                pads.dataset(self.paths.term_stats, partitioning="hive"),
+                [pads.dataset(p, partitioning="hive") for p in self._seg_roots()],
+                [pads.dataset(p, partitioning="hive") for p in self._ts_roots()],
             )
         return self._local_ds
 
@@ -937,11 +961,21 @@ class QueryEngine:
             else:
                 frames.append(hit)
         if missing:
-            seg_ds, ts_ds = self._datasets()
+            seg_dss, ts_dss = self._datasets()
             buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in missing})
             filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(missing)
-            seg_pdf = seg_ds.to_table(filter=filt).to_pandas()
-            ts_pdf = ts_ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
+            seg_parts = [ds.to_table(filter=filt).to_pandas() for ds in seg_dss]
+            ts_parts = [
+                ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
+                for ds in ts_dss
+            ]
+            seg_pdf = pd.concat(seg_parts, ignore_index=True)
+            # global df = sum across base + tiers
+            ts_pdf = (
+                pd.concat(ts_parts, ignore_index=True)
+                .groupby("term", as_index=False)["df"]
+                .sum()
+            )
             seg_pdf = seg_pdf.merge(ts_pdf, on="term")
             for t in missing:
                 rows = seg_pdf[seg_pdf["term"] == t]

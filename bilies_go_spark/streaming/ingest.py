@@ -42,8 +42,12 @@ from bilies_go_spark.operators.index_build import (
     BuildConfig,
     IndexPaths,
     _doc_local_tf,
+    _reset_tiers,
     build_segments,
+    encode_segments,
     finalize_stats,
+    mark_folded,
+    pending_folds,
     split_poison,
     write_index_meta,
 )
@@ -172,3 +176,66 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
     lineage.invalidate(spark, "segments")
     build_segments(spark, paths, cfg, lineage)
     finalize_stats(spark, paths, lineage)
+    _reset_tiers(spark, paths, lineage)
+
+
+def compact_tiered(
+    spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None
+) -> str | None:
+    """Incremental (LSM-tiered) compaction: encode ONLY the runs parts
+    not yet folded into any segment tier, as a new delta tier the query
+    engine unions with the base segments.
+
+    This is the per-batch serving-freshness path at scale: a streaming
+    batch costs O(batch), never O(index) — :func:`compact` (the full
+    merge) re-encodes history and is the periodic tier-folding step.
+    Correctness rests on the append-only doc_id contract (upstream ids
+    are unique, corpus.assign_doc_ids): tiers are doc-disjoint, so each
+    (term, doc) still appears in exactly one segment row and the
+    kernel's merge semantics are unchanged; global df per term is the
+    SUM over base + tiers (aggregated query-side).
+
+    Idempotent: the tier id is a hash of the folded part set, the tier
+    write is a full overwrite, the manifest append is a set-insert, and
+    the folded ack comes last — a crashed run re-executes into the same
+    tier.  Returns the tier id, or None if nothing was pending.
+    """
+    import hashlib
+
+    if cfg is None:
+        from bilies_go_spark.operators.query import load_index_meta
+
+        meta = load_index_meta(index_dir)
+        cfg = BuildConfig(
+            n_buckets=meta["n_buckets"],
+            block_size=meta["block_size"],
+            target_postings_per_salt=meta["target_postings_per_salt"],
+        )
+    paths = IndexPaths(index_dir)
+    lineage = Lineage(index_dir)
+    pending = pending_folds(spark, lineage)
+    if not pending:
+        return None
+    tier = hashlib.md5("\x00".join(pending).encode()).hexdigest()[:12]
+    runs_delta = (
+        spark.read.schema(RUNS_SCHEMA)
+        .parquet(paths.runs)
+        .filter(F.col("build_part").isin(pending))
+        .drop("build_part")
+    )
+    with StageTimer() as t:
+        encode_segments(
+            spark, runs_delta, paths.tier_segments(tier), paths.tier_term_stats(tier), cfg
+        )
+    paths.write_tiers(paths.read_tiers() + [tier])
+    lineage.ack(
+        spark,
+        "segments",
+        [{"part": f"tier-{tier}", "seconds": t.seconds}],
+    )
+    mark_folded(spark, lineage, pending)
+    finalize_stats(spark, paths, lineage)
+    tableio.commit_snapshot(
+        paths.root, {"stage": "compact_tiered", "tier": tier, "parts": pending}
+    )
+    return tier

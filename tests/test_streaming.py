@@ -143,3 +143,73 @@ def test_ingest_gauges_and_percentiles(spark, source_dir, tmp_path_factory):
     assert (p["p95_seconds"] >= p["p50_seconds"]).all()
     assert int(p.loc["runs", "n_parts"]) >= 2
     assert (p["p50_docs_per_sec"] > 0).any()
+
+
+def test_tiered_compaction_equals_batch(spark, small_corpus, tmp_path_factory):
+    """Incremental compaction: a streamed second half is folded as a
+    DELTA tier (base segments untouched), the engine unions base+tier
+    with summed df, and results are rank-identical to a batch build
+    over the full corpus; a later FULL compact folds the tier away
+    without changing results."""
+    from bilies_go_spark.operators.index_build import IndexPaths
+    from bilies_go_spark.operators.query import QueryEngine
+    from bilies_go_spark.sources.tableio import read_snapshots
+    from bilies_go_spark.streaming.ingest import compact_tiered
+
+    d = str(tmp_path_factory.mktemp("tier_idx"))
+    src = str(tmp_path_factory.mktemp("tier_src"))
+    half1 = small_corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = small_corpus.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(2).write.mode("overwrite").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)  # full base build over half1
+    paths = IndexPaths(d)
+    assert paths.read_tiers() == []
+    base_files_before = set(read_snapshots(d + "/segments")[-1]["files"])
+
+    half2.repartition(2).write.mode("append").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    tier = compact_tiered(spark, d, CFG)
+    assert tier is not None
+    assert paths.read_tiers() == [tier]
+    # the delta path never rewrote the base segments
+    import os
+
+    base_files_after = {
+        os.path.relpath(os.path.join(r, f), d + "/segments")
+        for r, _, fs in os.walk(d + "/segments")
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    assert base_files_before == base_files_after
+    # idempotence: nothing pending on a second run
+    assert compact_tiered(spark, d, CFG) is None
+
+    batch_idx = str(tmp_path_factory.mktemp("tier_batch"))
+    build_index(spark, small_corpus, batch_idx, CFG)
+    queries = reference_queries().head(16)
+    key = ["query_id", "rank"]
+    a = QueryEngine(spark, d).topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    b = (
+        QueryEngine(spark, batch_idx)
+        .topk_pandas(queries)
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # distributed path unions tiers identically
+    dist = (
+        QueryEngine(spark, d)
+        .topk_distributed(queries.head(5))
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, a[a["query_id"] < 5].reset_index(drop=True))
+
+    compact(spark, d, CFG)  # periodic full merge folds the tier away
+    assert paths.read_tiers() == []
+    c = QueryEngine(spark, d).topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(c, b)
