@@ -213,3 +213,69 @@ def test_tiered_compaction_equals_batch(spark, small_corpus, tmp_path_factory):
     assert paths.read_tiers() == []
     c = QueryEngine(spark, d).topk_pandas(queries).sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(c, b)
+
+
+def test_events_windowed_agg_runs_under_readstream(spark, sf_dir, tmp_path_factory):
+    """The tumbling-window aggregation the driver gates as a batch
+    query (driver_queries.q_events_windowed) runs UNCHANGED as a
+    Structured-Streaming query: readStream over the same parquet with
+    a watermark, drained with availableNow, must produce the exact
+    batch result (append mode emits only watermark-closed windows;
+    draining a finite source closes them all)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    # watermarks require TIMESTAMP (fixture ts is TIMESTAMP_NTZ); cast
+    # identically on both sides and compare on epoch seconds
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("win_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path_factory.mktemp("ev_sink"))
+    ck = str(tmp_path_factory.mktemp("ev_ck"))
+    # file-stream sources tail a DIRECTORY; the fixture is a single file
+    src_dir = str(tmp_path_factory.mktemp("ev_src"))
+    import shutil
+
+    shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    # append mode emits exactly the WATERMARK-CLOSED windows: a window
+    # [s, s+1h) is final iff s+1h <= max(ts) - 2h.  The open tail
+    # windows are withheld — that IS the late-data contract.
+    max_ts = (
+        spark.read.parquet(src)
+        .agg(F.unix_timestamp(F.max("ts").cast("timestamp")))
+        .collect()[0][0]
+    )
+    closed = batch[batch["win_start"] + 3600 <= max_ts - 7200]
+    assert 0 < len(closed) < len(batch)  # some tail windows still open
+    key = ["win_start", "event_type"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = closed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key + ["n_events"]], b[key + ["n_events"]])
