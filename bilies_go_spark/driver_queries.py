@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
 from bilies_go_spark.functions.portable import ROUND_DIGITS, duck_round, duck_tokens
 from bilies_go_spark.functions.tokenize import tokenize_col, tokenize_py
-from bilies_go_spark.operators import ann, dedup, sampling, textstats
+from bilies_go_spark.operators import ann, curation, dedup, sampling, textstats
 from bilies_go_spark.operators.bm25 import brute_force_scores
 from bilies_go_spark.operators.stats import term_postings, term_stats
 
@@ -587,6 +587,11 @@ def registry() -> dict[str, tuple]:
         "stratified_sample": (
             _docs(sampling.stratified_sample),
             sampling.stratified_sample_oracle(),
+        ),
+        # the composed keep/drop decision table (dedup ∧ quality ∧ sample)
+        "corpus_curation": (
+            _docs(curation.curated_corpus),
+            curation.curated_corpus_oracle(),
         ),
         "doc_fingerprint": (_docs(dedup.min_fingerprint), dedup.min_fingerprint_oracle()),
         # text analysis

@@ -210,3 +210,32 @@ def test_multiprobe_recall_dominates_single_probe(vecs):
     rec_multi = len(pairs(multi) & exact_p) / len(exact_p)
     assert rec_multi >= rec_single
     assert rec_multi > 0
+
+
+def test_curated_corpus_flags_consistent(spark, docs):
+    from bilies_go_spark.operators.curation import curated_corpus
+
+    c = curated_corpus(docs).toPandas()
+    n = docs.count()
+    assert len(c) == n  # one auditable decision row per input doc
+    assert c["kept"].equals(c["is_canonical"] & c["good_quality"] & c["sampled"])
+    assert 0 < c["kept"].sum() < n  # quality+sample filters bite
+    assert (~c["good_quality"]).sum() > 0
+    assert (~c["sampled"]).sum() > 0
+    assert c["is_canonical"].all()  # fixture has near-dups, no exact dups
+
+    # planted exact dup (case/punct-insensitive): only min doc_id keeps
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002],
+                "text": ["Same exact words here!", "same EXACT words... here"],
+                "lang": ["en", "en"],
+            }
+        ),
+        schema="doc_id bigint, text string, lang string",
+    )
+    c2 = curated_corpus(extra).toPandas().set_index("doc_id")
+    assert bool(c2.loc[9001, "is_canonical"]) is True
+    assert bool(c2.loc[9002, "is_canonical"]) is False
+    assert not c2.loc[9002, "kept"]
