@@ -336,19 +336,23 @@ def duplicate_components(
     cliques (diameter ~2), so 2-3 rounds in practice.  Each round is
     one shuffle-join + aggregation; the only driver-side value is the
     converged? count — the standard large-scale CC recipe (no
-    collect of nodes/edges).
+    collect of nodes/edges).  Labels are ``localCheckpoint``-ed every
+    round: without lineage truncation the logical plan DOUBLES per
+    round and long chains (diameter >~8) blow up plan compilation —
+    the same reason GraphX checkpoints iterative state.
     """
     pairs = jaccard_on_candidates(docs, threshold, n, n_hashes, band_size)
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    edges = edges.persist()
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -363,7 +367,7 @@ def duplicate_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -371,11 +375,17 @@ def duplicate_components(
             .filter(F.col("n.component") < F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
+    if changed:
+        # never return unconverged labels as if they were components: a
+        # chain with diameter > max_iters would silently diverge from
+        # the transitive-closure oracle
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} rounds "
+            f"({changed} labels still shrinking); raise max_iters"
+        )
     return labels.select("doc_id", "component")
 
 

@@ -92,11 +92,22 @@ def bulk_actions(
     Elasticsearch writer; the in-engine pipeline indexes the payload
     itself instead of shipping it.  The header is built with
     ``to_json`` so ids containing quotes/backslashes are escaped as
-    valid JSON (raw concat would emit a malformed action line)."""
+    valid JSON (raw concat would emit a malformed action line).
+
+    A NULL id fails LOUDLY (``raise_error``): ``to_json`` would silently
+    drop the ``_id`` field, and a header without ``_id`` makes
+    Elasticsearch auto-generate one — breaking the stable-``_id``
+    idempotence/replay contract this module documents
+    (/root/reference/batcher.go:91).  parse_records always fills ids,
+    so only foreign callers can hit this."""
+    checked_id = F.when(
+        F.col("id").isNull(),
+        F.raise_error(F.lit("bulk_actions: record with NULL id (stable-_id contract)")),
+    ).otherwise(F.col("id"))
     header = F.to_json(
         F.struct(
             F.struct(
-                F.col("id").alias("_id"),
+                checked_id.alias("_id"),
                 F.concat(F.lit(index_prefix), F.lit("-"), F.col("suffix")).alias("_index"),
                 F.lit(doc_type).alias("_type"),
             ).alias("index")

@@ -239,3 +239,25 @@ def test_curated_corpus_flags_consistent(spark, docs):
     assert bool(c2.loc[9001, "is_canonical"]) is True
     assert bool(c2.loc[9002, "is_canonical"]) is False
     assert not c2.loc[9002, "kept"]
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    """Diameter-9 near-dup chain (sliding 19-token windows: adjacent
+    J=0.889 >= 0.8, skip-2 J=0.789 < 0.8, so edges are EXACTLY the 9
+    adjacent pairs): min-label propagation needs one round per hop and
+    must (a) refuse to return unconverged labels when capped below the
+    diameter, (b) converge to the transitive closure past it."""
+    toks = [f"chain{i:02d}tok" for i in range(28)]
+    rows = [(100 + i, " ".join(toks[i:i + 19])) for i in range(10)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    # the realized candidate graph IS the chain (pin the fixture shape)
+    pairs = dedup.jaccard_on_candidates(docs).toPandas()
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == {(100 + i, 101 + i) for i in range(9)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_components(docs, max_iters=8)
+
+    comp = dedup.duplicate_components(docs).toPandas()
+    assert len(comp) == 10
+    assert (comp["component"] == 100).all()  # one component, min-id label

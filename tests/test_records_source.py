@@ -89,3 +89,22 @@ def test_bulk_action_header_escapes_special_ids(spark):
         head = r.action.split("\n")[0]
         h = json.loads(head)["index"]  # parses -> escaping is valid JSON
         assert h["_id"] == r.id
+
+
+def test_bulk_action_null_id_fails_loudly(spark):
+    """A NULL id must raise, not emit a header without _id (ES would
+    auto-generate one, silently breaking stable-_id replay)."""
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from bilies_go_spark.sources.records import bulk_actions
+
+    recs = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [None], "suffix": ["2026.01.02"], "document": ['{"k":1}']}
+        ),
+        schema="id string, suffix string, document string",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="NULL id"):
+        bulk_actions(recs).collect()
