@@ -158,7 +158,27 @@ def _make_encoder(block_size: int):
 
 @dataclass
 class IndexPaths:
+    """Index directory layout, generation-aware.
+
+    Serving state is published through ONE atomically-replaced pointer
+    file ``_current.json``: ``{"gen": N, "tiers": [{"id", "parts"}...],
+    "stats": {...}}``.  A full (online) compaction builds segments for
+    generation N+1 *beside* the live generation and flips the pointer —
+    readers pinned to a generation never observe a half-rewritten base,
+    stale tier lists, or torn corpus stats (the Iceberg
+    snapshot-pointer model; reference durability analogue:
+    write-then-ack, /root/reference/queue.go:115-155).
+
+    ``gen`` selects which generation's segment dirs the ``segments`` /
+    ``term_stats`` properties resolve to (generation 0 keeps the plain
+    dir names).
+    """
+
     root: str
+    gen: int = 0
+
+    def at_gen(self, gen: int) -> "IndexPaths":
+        return IndexPaths(self.root, gen=gen)
 
     @property
     def runs(self) -> str:
@@ -166,11 +186,13 @@ class IndexPaths:
 
     @property
     def segments(self) -> str:
-        return os.path.join(self.root, "segments")
+        return os.path.join(self.root, "segments" if self.gen == 0 else f"segments.g{self.gen}")
 
     @property
     def term_stats(self) -> str:
-        return os.path.join(self.root, "term_stats")
+        return os.path.join(
+            self.root, "term_stats" if self.gen == 0 else f"term_stats.g{self.gen}"
+        )
 
     @property
     def quarantine(self) -> str:
@@ -185,31 +207,44 @@ class IndexPaths:
     # runs parts streamed after the last full compaction; the query engine
     # unions base + tiers (doc-disjoint, so per-(term,doc) uniqueness holds)
 
-    @property
-    def tiers_manifest(self) -> str:
-        return os.path.join(self.root, "_tiers.json")
-
     def tier_segments(self, tier: str) -> str:
         return os.path.join(self.root, "tiers", tier, "segments")
 
     def tier_term_stats(self, tier: str) -> str:
         return os.path.join(self.root, "tiers", tier, "term_stats")
 
-    def read_tiers(self) -> list[str]:
+    # --- the serving pointer ------------------------------------------------
+
+    @property
+    def current_pointer(self) -> str:
+        return os.path.join(self.root, "_current.json")
+
+    def read_current(self) -> dict:
+        """The committed serving view: generation, tier list (with the
+        runs parts each tier covers), and corpus stats.  Falls back to
+        generation 0 / no tiers / no stats for indexes that predate the
+        pointer (or are mid-first-build)."""
         import json
 
-        if not os.path.exists(self.tiers_manifest):
-            return []
-        with open(self.tiers_manifest) as f:
-            return json.load(f)
+        if os.path.exists(self.current_pointer):
+            with open(self.current_pointer) as f:
+                cur = json.load(f)
+            cur.setdefault("deletes", [])
+            return cur
+        return {"gen": 0, "tiers": [], "deletes": [], "stats": None}
 
-    def write_tiers(self, tiers: list[str]) -> None:
+    def write_current(self, cur: dict) -> None:
+        """Atomically flip the serving pointer (write-tmp + rename).
+        This is the ONLY write that changes what readers see."""
         import json
 
-        tmp = self.tiers_manifest + ".tmp"
+        tmp = self.current_pointer + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(sorted(set(tiers)), f)
-        os.replace(tmp, self.tiers_manifest)
+            json.dump(cur, f, indent=1)
+        os.replace(tmp, self.current_pointer)
+
+    def read_tiers(self) -> list[str]:
+        return [t["id"] for t in self.read_current()["tiers"]]
 
 
 @dataclass
@@ -353,6 +388,7 @@ def build_segments(
                 .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
                 .filter(F.col("term_bucket").isin(bucket_ids))
             )
+            runs = _purge_tombstones(spark, paths, runs)
             tstats = runs.groupBy("term_bucket", "term").agg(
                 F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
@@ -472,34 +508,45 @@ def mark_folded(spark: SparkSession, lineage: Lineage, parts: list[str]) -> None
         lineage.ack(spark, "folded", [{"part": p} for p in parts])
 
 
-def finalize_stats(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
+def finalize_stats(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> dict:
     """Derive exact corpus stats (N, avgdl) from the stage-A ack ledger
     and commit them as a one-row table the query engine broadcasts.
 
     Pure driver-side work (the ledger is O(#parts) rows): no Spark job.
+    Returns the stats dict so callers can publish it atomically inside
+    the serving pointer (readers use the pointer copy; the parquet
+    table is the external/Spark-join surface).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    lin = lineage.read_pandas()
-    lin = lin[(lin["stage"] == "runs") & (lin["status"] == "done")]
+    lin_all = lineage.read_pandas()
+    lin = lin_all[(lin_all["stage"] == "runs") & (lin_all["status"] == "done")]
     # one ack per part counts (replays append identical deterministic values)
     per_part = lin.groupby("part").agg({"rows": "max", "sum_dl": "max"}) if len(lin) else None
     n = int(per_part["rows"].sum()) if per_part is not None else 0
     total_dl = int(per_part["sum_dl"].sum()) if per_part is not None else 0
+    # tombstones subtract (operators/deletes.py): the runs ledger is
+    # append-only and still counts deleted docs; the deletes stage
+    # records the exact (n_docs, sum_dl) each batch removed
+    dels = lin_all[(lin_all["stage"] == "deletes") & (lin_all["status"] == "done")]
+    if len(dels):
+        per_del = dels.groupby("part").agg({"rows": "max", "sum_dl": "max"})
+        n -= int(per_del["rows"].sum())
+        total_dl -= int(per_del["sum_dl"].sum())
     avgdl = (total_dl / n) if n else 0.0
     schema = pa.schema(
         [("n_docs", pa.int64()), ("total_dl", pa.int64()), ("avgdl", pa.float64())]
     )
     pdf = pd.DataFrame([{"n_docs": n, "total_dl": total_dl, "avgdl": avgdl}])
-    import shutil
-
-    shutil.rmtree(paths.stats_table, ignore_errors=True)  # drop stale layouts
     os.makedirs(paths.stats_table, exist_ok=True)
     tmp = os.path.join(paths.stats_table, ".stats.parquet.tmp")
     pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+    # atomic single-file replace — no rmtree window where readers see
+    # an empty stats table
     os.replace(tmp, os.path.join(paths.stats_table, "stats.parquet"))
     tableio.commit_snapshot(paths.root, {"stage": "finalize", "n_docs": n, "avgdl": avgdl})
+    return {"n_docs": n, "total_dl": total_dl, "avgdl": avgdl}
 
 
 def build_index(
@@ -508,31 +555,91 @@ def build_index(
     index_dir: str,
     cfg: BuildConfig | None = None,
 ) -> IndexPaths:
-    """Full (resumable) build: stage A + stage B + stats finalize.
+    """Full (resumable) OFFLINE build: stage A + stage B + stats +
+    pointer publish.  Writes segment dirs of the CURRENT generation in
+    place (idempotent partition overwrite) — use
+    ``streaming.ingest.compact`` for the online path, which builds a
+    new generation beside the live one and flips the pointer.
 
     Safe to call again after a crash — completed parts are skipped via
     the lineage ledger; partially-written parts are idempotently
     overwritten.
     """
     cfg = cfg or BuildConfig()
-    paths = IndexPaths(index_dir)
+    paths = IndexPaths(index_dir, gen=IndexPaths(index_dir).read_current()["gen"])
     lineage = Lineage(index_dir)
     write_index_meta(paths, cfg)
     build_runs(spark, corpus, paths, cfg, lineage)
     build_segments(spark, paths, cfg, lineage)
-    finalize_stats(spark, paths, lineage)
-    _reset_tiers(spark, paths, lineage)
+    stats = finalize_stats(spark, paths, lineage)
+    publish_full_view(spark, paths, lineage, stats)
     return paths
 
 
-def _reset_tiers(spark: SparkSession, paths: IndexPaths, lineage: Lineage) -> None:
-    """After a FULL segment rebuild the base covers every runs part:
-    drop delta tiers and mark every part folded."""
+def _purge_tombstones(spark: SparkSession, paths: IndexPaths, runs: DataFrame) -> DataFrame:
+    """FULL segment builds physically exclude tombstoned docs (the
+    Lucene merge-purge): anti-join the runs stream against the live
+    delete batches.  The pointer flip that publishes the build retires
+    those batches in the same rename, so per-term df is never
+    double-subtracted (base already net + negative delta would be).
+    The delete set between compactions is small by contract
+    (operators/deletes.py), hence the broadcast."""
+    from bilies_go_spark.operators.deletes import read_deleted_ids
+
+    ids = read_deleted_ids(paths)
+    if ids.size == 0:
+        return runs
+    dd = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids.astype("int64")}), schema="doc_id bigint"
+    )
+    return runs.join(F.broadcast(dd), "doc_id", "left_anti")
+
+
+def publish_full_view(
+    spark: SparkSession, paths: IndexPaths, lineage: Lineage, stats: dict
+) -> None:
+    """After a FULL segment build at ``paths.gen`` covering every runs
+    part: mark all parts folded, then atomically point readers at
+    (this generation, no tiers, no live tombstones — the build purged
+    them physically — and these stats)."""
+    mark_folded(spark, lineage, pending_folds(spark, lineage))
+    paths.write_current({"gen": paths.gen, "tiers": [], "deletes": [], "stats": stats})
+
+
+def gc_stale_generations(paths: IndexPaths) -> list[str]:
+    """Remove segment generations and tier directories no longer
+    referenced by the committed pointer.
+
+    Grace policy: this runs at the START of the next compaction, so a
+    view retired by compaction N stays readable until compaction N+1
+    begins — a live ``QueryEngine`` (pinned at construction) survives
+    at least one full compaction cycle instead of crashing on files
+    deleted under it."""
     import shutil
 
-    paths.write_tiers([])
-    shutil.rmtree(os.path.join(paths.root, "tiers"), ignore_errors=True)
-    mark_folded(spark, lineage, pending_folds(spark, lineage))
+    cur = paths.read_current()
+    live_tiers = {t["id"] for t in cur["tiers"]}
+    removed = []
+    for name in sorted(os.listdir(paths.root)) if os.path.isdir(paths.root) else []:
+        for prefix in ("segments.g", "term_stats.g"):
+            if name.startswith(prefix):
+                gen = int(name[len(prefix):])
+                if gen != cur["gen"]:
+                    shutil.rmtree(os.path.join(paths.root, name), ignore_errors=True)
+                    removed.append(name)
+    if cur["gen"] != 0:
+        for name in ("segments", "term_stats"):  # generation 0
+            p = os.path.join(paths.root, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(name)
+    tiers_root = os.path.join(paths.root, "tiers")
+    if os.path.isdir(tiers_root):
+        for name in sorted(os.listdir(tiers_root)):
+            if name not in live_tiers:
+                shutil.rmtree(os.path.join(tiers_root, name), ignore_errors=True)
+                removed.append(f"tiers/{name}")
+    return removed
 
 
 def write_index_meta(paths: IndexPaths, cfg: BuildConfig) -> None:

@@ -42,12 +42,13 @@ from bilies_go_spark.operators.index_build import (
     BuildConfig,
     IndexPaths,
     _doc_local_tf,
-    _reset_tiers,
     build_segments,
     encode_segments,
     finalize_stats,
+    gc_stale_generations,
     mark_folded,
     pending_folds,
+    publish_full_view,
     split_poison,
     write_index_meta,
 )
@@ -157,11 +158,20 @@ def start_ingest(
 
 
 def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None) -> None:
-    """Fold all runs (batch-built + streamed) into serving segments.
+    """Fold all runs (batch-built + streamed) into serving segments —
+    ATOMICALLY for concurrent readers.
 
-    Invalidate the segments ledger (new runs arrived since the last
-    ack), then reuse the batch build's resumable bucket-chunked merge
-    and stats finalize — the LSM compaction step."""
+    The full merge builds generation N+1's segments *beside* the live
+    generation N (same resumable bucket-chunked merge the batch build
+    uses), then flips the ``_current.json`` pointer in one rename: a
+    ``QueryEngine`` constructed at any instant sees either the complete
+    old view (gen N + its tiers + its stats) or the complete new view
+    (gen N+1, no tiers) — never a half-rewritten base or a stale tier
+    list double-counting postings.  Crash-safe: until the flip, readers
+    keep the old view; a re-run rebuilds the same target generation
+    (idempotent overwrite).  Generations retired by the PREVIOUS
+    compaction are garbage-collected here (one-full-cycle grace for
+    live engines)."""
     if cfg is None:
         from bilies_go_spark.operators.query import load_index_meta
 
@@ -172,33 +182,54 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
             target_postings_per_salt=meta["target_postings_per_salt"],
         )
     paths = IndexPaths(index_dir)
+    gc_stale_generations(paths)
+    target = paths.at_gen(paths.read_current()["gen"] + 1)
     lineage = Lineage(index_dir)
     lineage.invalidate(spark, "segments")
-    build_segments(spark, paths, cfg, lineage)
-    finalize_stats(spark, paths, lineage)
-    _reset_tiers(spark, paths, lineage)
+    build_segments(spark, target, cfg, lineage)
+    stats = finalize_stats(spark, target, lineage)
+    publish_full_view(spark, target, lineage, stats)
+
+
+#: fold threshold: when a delta fold would leave more than this many
+#: tiers, the existing tiers merge with the new delta into ONE tier —
+#: the LSM leveling step.  Queries union base + tiers, so an unbounded
+#: tier count would degrade every query; K bounds it while keeping
+#: per-batch cost O(batch + folded-tier volume), never O(index).
+MAX_TIERS = 4
 
 
 def compact_tiered(
-    spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None
+    spark: SparkSession,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    max_tiers: int = MAX_TIERS,
 ) -> str | None:
-    """Incremental (LSM-tiered) compaction: encode ONLY the runs parts
-    not yet folded into any segment tier, as a new delta tier the query
-    engine unions with the base segments.
+    """Incremental (LSM-tiered) compaction: encode the runs parts not
+    yet folded into any segment tier as a new delta tier the query
+    engine unions with the base segments; when that would exceed
+    ``max_tiers`` tiers, merge the existing tiers INTO the new one
+    (leveling), so a long-running stream never accumulates unbounded
+    tiers.
 
     This is the per-batch serving-freshness path at scale: a streaming
-    batch costs O(batch), never O(index) — :func:`compact` (the full
-    merge) re-encodes history and is the periodic tier-folding step.
+    batch costs O(batch) — amortized O(batch + tier volume / K) with
+    leveling — never O(index); :func:`compact` (the full merge into a
+    new base generation) remains the periodic history fold.
     Correctness rests on the append-only doc_id contract (upstream ids
     are unique, corpus.assign_doc_ids): tiers are doc-disjoint, so each
     (term, doc) still appears in exactly one segment row and the
     kernel's merge semantics are unchanged; global df per term is the
     SUM over base + tiers (aggregated query-side).
 
-    Idempotent: the tier id is a hash of the folded part set, the tier
-    write is a full overwrite, the manifest append is a set-insert, and
-    the folded ack comes last — a crashed run re-executes into the same
-    tier.  Returns the tier id, or None if nothing was pending.
+    Atomic for readers: the new tier becomes visible ONLY via the
+    single ``_current.json`` pointer replace, which simultaneously
+    retires merged tiers and updates corpus stats — no window where a
+    reader sees a tier whose parts are also counted elsewhere, or stats
+    out of step with the tier list.  Idempotent: the tier id is a hash
+    of the covered part set and the tier write is a full overwrite — a
+    crashed run re-executes into the same tier.  Returns the tier id,
+    or None if nothing was pending.
     """
     import hashlib
 
@@ -216,26 +247,46 @@ def compact_tiered(
     pending = pending_folds(spark, lineage)
     if not pending:
         return None
-    tier = hashlib.md5("\x00".join(pending).encode()).hexdigest()[:12]
+    cur = paths.read_current()
+    keep, merge = cur["tiers"], []
+    if len(cur["tiers"]) + 1 > max_tiers:
+        # leveling: merge-fold every tier whose part set is known into
+        # the new tier (unknown part sets — pre-pointer indexes — are
+        # left in place; a full compact retires them)
+        merge = [t for t in cur["tiers"] if t.get("parts")]
+        keep = [t for t in cur["tiers"] if not t.get("parts")]
+    parts = sorted(set(pending) | {p for t in merge for p in t["parts"]})
+    tier = hashlib.md5("\x00".join(parts).encode()).hexdigest()[:12]
     runs_delta = (
         spark.read.schema(RUNS_SCHEMA)
         .parquet(paths.runs)
-        .filter(F.col("build_part").isin(pending))
+        .filter(F.col("build_part").isin(parts))
         .drop("build_part")
     )
     with StageTimer() as t:
         encode_segments(
             spark, runs_delta, paths.tier_segments(tier), paths.tier_term_stats(tier), cfg
         )
-    paths.write_tiers(paths.read_tiers() + [tier])
+    # stats BEFORE the pointer flip and the folded ack: finalize_stats
+    # derives purely from the runs ledger (safe to run early), the
+    # pointer publishes tier list + stats in ONE rename, and a crash
+    # between flip and ack re-runs into the identical tier id
+    stats = finalize_stats(spark, paths, lineage)
+    paths.write_current(
+        {
+            "gen": cur["gen"],
+            "tiers": keep + [{"id": tier, "parts": parts}],
+            "deletes": cur.get("deletes", []),  # tombstones stay live
+            "stats": stats,
+        }
+    )
     lineage.ack(
         spark,
         "segments",
         [{"part": f"tier-{tier}", "seconds": t.seconds}],
     )
     mark_folded(spark, lineage, pending)
-    finalize_stats(spark, paths, lineage)
     tableio.commit_snapshot(
-        paths.root, {"stage": "compact_tiered", "tier": tier, "parts": pending}
+        paths.root, {"stage": "compact_tiered", "tier": tier, "parts": parts}
     )
     return tier

@@ -163,10 +163,11 @@ def test_tiered_compaction_equals_batch(spark, small_corpus, tmp_path_factory):
     half1.repartition(2).write.mode("overwrite").parquet(src)
     q = start_ingest(spark, src, d, CFG)
     q.awaitTermination(300)
-    compact(spark, d, CFG)  # full base build over half1
+    compact(spark, d, CFG)  # full base build over half1 (gen 1)
     paths = IndexPaths(d)
     assert paths.read_tiers() == []
-    base_files_before = set(read_snapshots(d + "/segments")[-1]["files"])
+    base_dir = paths.at_gen(paths.read_current()["gen"]).segments
+    base_files_before = set(read_snapshots(base_dir)[-1]["files"])
 
     half2.repartition(2).write.mode("append").parquet(src)
     q = start_ingest(spark, src, d, CFG)
@@ -174,12 +175,14 @@ def test_tiered_compaction_equals_batch(spark, small_corpus, tmp_path_factory):
     tier = compact_tiered(spark, d, CFG)
     assert tier is not None
     assert paths.read_tiers() == [tier]
-    # the delta path never rewrote the base segments
+    # the delta path never rewrote the base segments (same generation,
+    # identical file set)
     import os
 
+    assert paths.at_gen(paths.read_current()["gen"]).segments == base_dir
     base_files_after = {
-        os.path.relpath(os.path.join(r, f), d + "/segments")
-        for r, _, fs in os.walk(d + "/segments")
+        os.path.relpath(os.path.join(r, f), base_dir)
+        for r, _, fs in os.walk(base_dir)
         for f in fs
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     }
@@ -279,3 +282,101 @@ def test_events_windowed_agg_runs_under_readstream(spark, sf_dir, tmp_path_facto
     a = got.sort_values(key).reset_index(drop=True)
     b = closed.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key + ["n_events"]], b[key + ["n_events"]])
+
+
+def test_compact_is_atomic_for_concurrent_readers(spark, small_corpus, tmp_path_factory):
+    """Serve-while-compacting: engines constructed at ANY instant while
+    a full compact runs must answer from a complete committed view —
+    either base+tier (pre-flip) or the folded new generation
+    (post-flip), never a mix.  A torn view (new base + stale tier list)
+    would double-count postings and shift BM25 scores, failing the
+    frame equality."""
+    import threading
+
+    from bilies_go_spark.operators.index_build import IndexPaths
+    from bilies_go_spark.streaming.ingest import compact_tiered
+
+    d = str(tmp_path_factory.mktemp("atomic_idx"))
+    src = str(tmp_path_factory.mktemp("atomic_src"))
+    half1 = small_corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = small_corpus.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(2).write.mode("overwrite").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)
+    half2.repartition(2).write.mode("append").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    assert compact_tiered(spark, d, CFG) is not None  # base + 1 tier
+
+    queries = reference_queries().head(8)
+    key = ["query_id", "rank"]
+    expected = (
+        QueryEngine(spark, d).topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    )
+    errs: list[Exception] = []
+
+    def run_compact():
+        try:
+            compact(spark, d, CFG)  # folds the tier into a new generation
+        except Exception as e:  # surfaced in the main thread below
+            errs.append(e)
+
+    t = threading.Thread(target=run_compact)
+    t.start()
+    checks = 0
+    try:
+        while True:
+            got = (
+                QueryEngine(spark, d)
+                .topk_pandas(queries)
+                .sort_values(key)
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, expected)
+            checks += 1
+            if not t.is_alive():
+                break
+    finally:
+        t.join()
+    assert not errs, errs
+    assert checks >= 2  # at least one mid-compact + one post-compact read
+    assert IndexPaths(d).read_tiers() == []  # the flip folded the tier
+
+
+def test_tier_count_bounded_by_leveling(spark, small_corpus, tmp_path_factory):
+    """A long-running stream with per-batch compact_tiered never
+    accumulates more than max_tiers tiers (the leveling merge folds
+    existing tiers into the new one), and results stay rank-identical
+    to a batch build over the same rows throughout."""
+    from bilies_go_spark.operators.index_build import IndexPaths
+    from bilies_go_spark.streaming.ingest import compact_tiered
+
+    d = str(tmp_path_factory.mktemp("level_idx"))
+    src = str(tmp_path_factory.mktemp("level_src"))
+    paths = IndexPaths(d)
+    n_slices, max_tiers = 6, 2
+    for i in range(n_slices):
+        mode = "overwrite" if i == 0 else "append"
+        small_corpus.filter(F.col("doc_id") % n_slices == i).repartition(1).write.mode(
+            mode
+        ).parquet(src)
+        q = start_ingest(spark, src, d, CFG)
+        q.awaitTermination(300)
+        assert compact_tiered(spark, d, CFG, max_tiers=max_tiers) is not None
+        assert len(paths.read_tiers()) <= max_tiers
+    # 6 folds but <=2 tiers -> leveling merged at least once
+    assert len(paths.read_tiers()) <= max_tiers
+
+    batch_idx = str(tmp_path_factory.mktemp("level_batch"))
+    build_index(spark, small_corpus, batch_idx, CFG)
+    queries = reference_queries().head(12)
+    key = ["query_id", "rank"]
+    a = QueryEngine(spark, d).topk_pandas(queries).sort_values(key).reset_index(drop=True)
+    b = (
+        QueryEngine(spark, batch_idx)
+        .topk_pandas(queries)
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
