@@ -181,12 +181,14 @@ def main() -> None:
     queries["query_each_p95"] = round(float(np.percentile(lat_arr, 95)), 3)
     # warm the executor python workers once (JIT imports + arena pages;
     # same steady-state discipline as the serving warm-up above), then
-    # measure the batch twice and keep the best (steal-noise guard)
-    engine.topk_distributed(qset, n_shards=8).collect()
+    # measure the batch twice and keep the best (steal-noise guard).
+    # No mode knob: topk_distributed auto-shards from the estimated
+    # posting volume (heavy queries get intra-query parallelism).
+    engine.topk_distributed(qset).collect()
     batch_secs = []
     for _ in range(2):
         t0 = time.monotonic()
-        engine.topk_distributed(qset, n_shards=8).collect()
+        engine.topk_distributed(qset).collect()
         batch_secs.append(time.monotonic() - t0)
     queries["query_batch_distributed"] = round(min(batch_secs), 3)
     log(

@@ -262,15 +262,20 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
-def bm25_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+def bm25_oracle_sql(
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    queries: list[tuple[int, str, int]] | None = None,
+    table: str = "documents",
+) -> str:
     qrows = []
-    for qid, text, k in BM25_QUERIES:
+    for qid, text, k in queries or BM25_QUERIES:
         for term in sorted(set(tokenize_py(text))):
             qrows.append(f"({qid}, '{term}', {k})")
     values = ", ".join(qrows)
     return f"""
 WITH toks AS (
-  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+  SELECT doc_id, t.term FROM {table} AS documents, unnest({duck_tokens()}) AS t(term)
 ),
 post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -300,6 +305,109 @@ r AS (
 )
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
+
+
+# --- document update (tombstone + re-ingest) gate ----------------------------
+# the reference's stable-_id re-send (/root/reference/batcher.go:91):
+# a re-sent document replaces the old version.  Here: tombstone the old
+# internal doc_id (operators/deletes.py) and ingest the new version
+# under a FRESH internal id (the Lucene delete-then-add recipe; stable
+# external identity maps to the newest internal id).  Queries must then
+# reflect ONLY the new versions — gated against a pure-SQL oracle over
+# the post-update corpus.
+
+UPDATE_MOD = 50                     # docs with doc_id % 50 == 0 get a new version
+UPDATE_ID_OFFSET = 1_000_000        # fresh internal id = old id + offset
+UPDATE_SUFFIX = " freshness marker update"
+
+UPDATED_QUERIES: list[tuple[int, str, int]] = BM25_QUERIES + [
+    (10, "freshness marker", 10),   # terms that exist ONLY post-update
+    (11, "update table", 10),       # new term + hot old term
+]
+
+
+def updated_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in UPDATED_QUERIES],
+            "text": [q[1] for q in UPDATED_QUERIES],
+            "k": [q[2] for q in UPDATED_QUERIES],
+        }
+    )
+
+
+def _updated_index_dir_for(sf_dir: str) -> str:
+    import bilies_go_spark
+
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bilies_go_spark.__version__}|upd1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bgs_docs_uindex_{h}")
+
+
+def build_documents_index_updated(spark: SparkSession, sf_dir: str) -> str:
+    """Base index over `documents`, then an UPSERT wave: every doc with
+    ``doc_id % UPDATE_MOD == 0`` is re-ingested with modified text —
+    old internal id tombstoned, new version streamed in and folded as a
+    delta tier.  The serving view must equal an index built directly
+    over the post-update corpus."""
+    from bilies_go_spark.operators.deletes import delete_docs
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+    from bilies_go_spark.streaming.ingest import compact_tiered, start_ingest
+
+    _ensure_pyfiles(spark)
+    idx = _updated_index_dir_for(sf_dir)
+    done_marker = os.path.join(idx, "_upsert_done")
+    if os.path.exists(done_marker):
+        return idx
+    corpus = documents_corpus(spark, sf_dir)
+    cfg = BuildConfig(n_buckets=8, build_part_expr="source", target_postings_per_salt=200)
+    build_index(spark, corpus, idx, cfg)
+    victims = corpus.filter(F.col("doc_id") % UPDATE_MOD == 0)
+    old_ids = [int(r["doc_id"]) for r in victims.select("doc_id").collect()]
+    new_versions = victims.select(
+        (F.col("doc_id") + UPDATE_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(UPDATE_SUFFIX)).alias("text"),
+    )
+    src = idx + "_upd_src"
+    new_versions.repartition(2).write.mode("overwrite").parquet(src)
+    delete_docs(spark, idx, old_ids)
+    q = start_ingest(spark, src, idx, cfg, schema="doc_id bigint, text string")
+    q.awaitTermination()
+    compact_tiered(spark, idx, cfg)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return idx
+
+
+def bm25_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the upserted index; map fresh internal ids back to the
+    stable external ids BEFORE the rounded re-rank so tie-breaks match
+    the oracle's (which only ever sees external ids)."""
+    from bilies_go_spark.operators.query import topk
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_updated(spark, sf_dir)
+    q = updated_queries_pdf()
+    raw = topk(spark, idx, q, prune=True, mode="distributed", tie_margin=BM25_TIE_MARGIN)
+    mapped = raw.withColumn(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= UPDATE_ID_OFFSET, F.col("doc_id") - UPDATE_ID_OFFSET
+        ).otherwise(F.col("doc_id")),
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(q[["query_id", "k"]], schema="query_id bigint, k int")
+    )
+    return _rounded_rank_topk(mapped.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_updated_oracle_sql() -> str:
+    updated_docs = (
+        f"(SELECT doc_id, CASE WHEN doc_id % {UPDATE_MOD} = 0 "
+        f"THEN text || '{UPDATE_SUFFIX}' ELSE text END AS text FROM documents)"
+    )
+    return bm25_oracle_sql(queries=UPDATED_QUERIES, table=updated_docs)
 
 
 # --- relational building blocks over documents ------------------------------
@@ -563,6 +671,10 @@ def registry() -> dict[str, tuple]:
         "bm25_topk_streamed": (bm25_streamed, bm25_oracle_sql()),
         # AND semantics: intersection-driven kernel, HAVING-count oracle
         "bm25_topk_conjunctive": (bm25_conjunctive, bm25_conjunctive_oracle_sql()),
+        # upsert gate: tombstoned old versions + re-ingested new
+        # versions must match a pure-SQL oracle over the POST-update
+        # corpus (stable-_id re-send semantics, batcher.go:91)
+        "bm25_topk_updated": (bm25_updated, bm25_updated_oracle_sql()),
         # relational star-schema join (broadcast dims + AQE fact join)
         "join_star": (q_join_star, join_star_oracle()),
         # dedup suite.  The gated near-dup *scoring* entries are the

@@ -112,10 +112,24 @@ def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFr
 
 
 def _score_shard(
-    pdf: pd.DataFrame, lo: int, hi: int, k1: float, b: float, n_docs: int, avgdl: float
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted: np.ndarray | None = None,
+    tie_margin: float = 0.0,
 ) -> pd.DataFrame:
     """Exhaustively score one (query, shard): decode every slice,
-    keep docs in [lo, hi), fold in ascending-term order, shard top-k."""
+    keep docs in [lo, hi), fold in ascending-term order, shard top-k.
+
+    With ``tie_margin > 0`` the shard emits every doc within the margin
+    of its local kth raw score.  A shard's postings are a subset of the
+    query's, so shard-kth <= global-kth: any doc within the margin of
+    the GLOBAL kth is also within the margin of its own shard's kth —
+    the margin extras always survive to the global merge."""
     from bilies_go_spark.operators.codec import vbyte_decode
 
     empty = pd.DataFrame(
@@ -142,7 +156,7 @@ def _score_shard(
                 continue
             tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
             dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
-            parts.append((ids[m], tfs[m], dls[m]))
+            parts.append(_alive_triple((ids[m], tfs[m], dls[m]), deleted))
         e = np.empty(0, dtype=np.int64)
         if not parts:
             decoded[term] = (e, e, e)
@@ -153,7 +167,7 @@ def _score_shard(
     doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b)
     if doc.size == 0:
         return empty
-    sel = _topk_select(doc, acc, k)
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
     return pd.DataFrame(
         {
             "query_id": np.full(sel.size, qid, dtype=np.int64),
@@ -176,7 +190,27 @@ class KernelStats:
     blocks_decoded: int = 0
 
 
-def _decode_term_runs(runs: list, block_mask_per_run: list | None):
+def _alive_triple(triple, deleted: np.ndarray | None):
+    """Drop tombstoned doc ids from a decoded (ids, tfs, dls) triple.
+
+    ``deleted`` is the engine's sorted tombstone array
+    (operators/deletes.py): one searchsorted pass, O(n log d).  Block
+    upper bounds computed BEFORE masking stay valid (they can only be
+    looser), so pruning remains rank-safe."""
+    if deleted is None or deleted.size == 0:
+        return triple
+    ids = triple[0]
+    if ids.size == 0:
+        return triple
+    pos = np.searchsorted(deleted, ids)
+    pos = np.minimum(pos, deleted.size - 1)
+    keep = deleted[pos] != ids
+    if keep.all():
+        return triple
+    return triple[0][keep], triple[1][keep], triple[2][keep]
+
+
+def _decode_term_runs(runs: list, block_mask_per_run: list | None, deleted=None):
     """Decode (selected blocks of) a term's runs; concatenated, UNSORTED.
 
     Decoding is range-vectorized (codec.decode_masked): a full run is
@@ -188,7 +222,7 @@ def _decode_term_runs(runs: list, block_mask_per_run: list | None):
     ids_parts, tf_parts, dl_parts = [], [], []
     for ri, seg in enumerate(runs):
         mask = None if block_mask_per_run is None else block_mask_per_run[ri]
-        d, t, ln = decode_masked(seg, mask)
+        d, t, ln = _alive_triple(decode_masked(seg, mask), deleted)
         if d.size:
             ids_parts.append(d)
             tf_parts.append(t)
@@ -294,6 +328,7 @@ def score_query_kernel(
     prune: bool = True,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one query's segment rows -> top-k (exact).
 
@@ -332,12 +367,14 @@ def score_query_kernel(
 
     if prune and len(terms) > 1:
         cand, decoded = _pruned_candidates(
-            per_term, terms, k, avgdl, k1, b, stats, tie_margin=tie_margin
+            per_term, terms, k, avgdl, k1, b, stats, tie_margin=tie_margin, deleted=deleted
         )
         doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=cand)
     else:
         stats.blocks_decoded += stats.blocks_total
-        decoded = {t: _decode_term_runs(per_term[t]["runs"], None) for t in terms}
+        decoded = {
+            t: _decode_term_runs(per_term[t]["runs"], None, deleted=deleted) for t in terms
+        }
         doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b)
     if doc.size == 0:
         return pd.DataFrame(
@@ -374,6 +411,7 @@ def conjunctive_query_kernel(
     avgdl: float,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """AND-semantics top-k: only docs containing EVERY query term
     (BM25-scored, same formula/fold order as the OR kernel).
@@ -415,7 +453,7 @@ def conjunctive_query_kernel(
 
     by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
     rare = by_df[0]
-    decoded = {rare: _decode_term_runs(per_term[rare]["runs"], None)}
+    decoded = {rare: _decode_term_runs(per_term[rare]["runs"], None, deleted=deleted)}
     stats.blocks_decoded += sum(
         len(seg.block_last_doc_id) for seg in per_term[rare]["runs"]
     )
@@ -428,7 +466,7 @@ def conjunctive_query_kernel(
         for seg in per_term[t]["runs"]:
             mask = _seg_blocks_with_candidates(seg, cand)
             if mask.any():
-                parts.append(decode_masked(seg, mask))
+                parts.append(_alive_triple(decode_masked(seg, mask), deleted))
                 stats.blocks_decoded += int(mask.sum())
         if not parts:
             return empty
@@ -515,42 +553,120 @@ class _RunIndex:
 
 
 def _pruned_candidates(
-    per_term, terms, k, avgdl, k1, b, stats: KernelStats, tie_margin: float = 0.0
+    per_term,
+    terms,
+    k,
+    avgdl,
+    k1,
+    b,
+    stats: KernelStats,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | None = None,
 ):
-    """Block-max candidate pruning + candidate-directed gather.
+    """Block-max candidate pruning with exact-seed θ refinement and
+    MaxScore essential-list filtering + candidate-directed gather.
 
     1. Bootstrap θ = kth best *partial* score of the highest-impact
        term (partial scores lower-bound true scores, so θ lower-bounds
        the final kth score).
-    2. A block of term t survives iff ub_t(block) + Σ_{u≠t}
+    2. θ refinement: decode the OTHER terms' blocks containing just the
+       top-k partial-score docs (≤ k blocks per run — block-targeted)
+       and compute those docs' EXACT scores; θ rises to their kth best.
+       Exact scores of any k docs lower-bound the true kth score, and
+       on multi-term queries they sit far above the single-term partial
+       bound — the decisive prune for all-hot (stopword-class) queries
+       where partial-θ keeps every block alive.
+    3. Essential terms (MaxScore): with terms sorted by max block ub
+       ascending, the longest prefix whose CUMULATIVE max ub stays
+       below θ is non-essential — a doc appearing only in those terms
+       cannot reach θ — so their blocks skip survival scanning
+       entirely (they are decoded only by the candidate gather in 5).
+    4. A block of an essential term survives iff ub_t(block) + Σ_{u≠t}
        (max ub over u-blocks overlapping the block's doc range) ≥ θ.
-       Any doc in no surviving block has total upper bound < θ — it
-       cannot enter the top-k (rank-safe pruning).
-    3. Candidates = docs of surviving blocks only.  Exactness: for each
-       term, additionally decode the blocks that may CONTAIN a
-       candidate (binary search of candidate ids against block ranges),
-       so every candidate's score is complete.
+       Any live doc above θ appears in some essential term, whose block
+       bound dominates the doc's score — so it survives (rank-safe).
+    5. Candidates = docs of surviving blocks (plus all of best_term).
+       Exactness: per term, additionally decode the not-yet-decoded
+       blocks that may CONTAIN a candidate, so every candidate's score
+       is complete.  Every block decodes at most once (seed / survival
+       / gather masks are kept disjoint).
 
-    Returns (candidate doc_ids, {term: (ids, tfs, dls)} decoded arrays).
+    All θ comparisons respect ``tie_margin``, so the margin-widened
+    top-k stays exact.  Returns (candidate doc_ids, {term: (ids, tfs,
+    dls)} decoded arrays).
     """
     runidx = {
         t: [_RunIndex(seg, per_term[t]["ubs"][ri]) for ri, seg in enumerate(per_term[t]["runs"])]
         for t in terms
     }
+    e = np.empty(0, dtype=np.int64)
+    empty3 = (e, e, e)
+
+    def _combine(parts):
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return empty3
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
 
     # 1. bootstrap θ (decode the dominant term once; arrays reused below)
-    best_term = max(
-        terms,
-        key=lambda t: max((float(r.ub.max()) for r in runidx[t] if r.ub.size), default=0.0),
-    )
-    best_full = _decode_term_runs(per_term[best_term]["runs"], None)
+    max_ub = {
+        t: max((float(r.ub.max()) for r in runidx[t] if r.ub.size), default=0.0)
+        for t in terms
+    }
+    best_term = max(terms, key=lambda t: max_ub[t])
+    best_full = _decode_term_runs(per_term[best_term]["runs"], None, deleted=deleted)
     stats.blocks_decoded += sum(len(r.ub) for r in runidx[best_term])
     part = per_term[best_term]["idf"] * _tf_norm(best_full[1], best_full[2], avgdl, k1, b)
     theta = float(np.partition(part, -k)[-k]) if part.size >= k else 0.0
 
-    # 2. survival masks (tight per-range bounds via RMQ)
+    # 2. θ refinement via exact scores of the best term's top partials.
+    # seed_dec[t][ri] = (mask, triple) — reused verbatim downstream.
+    seed_dec: dict[str, dict[int, tuple]] = {t: {} for t in terms}
+    if part.size:
+        m = min(k, part.size)
+        seed = np.sort(best_full[0][np.argpartition(part, part.size - m)[part.size - m:]])
+        sdec = {best_term: best_full}
+        for t in terms:
+            if t == best_term:
+                continue
+            tris = []
+            for ri, r in enumerate(runidx[t]):
+                mask = r.blocks_with_candidates(seed)
+                if mask.any():
+                    tri = _alive_triple(
+                        decode_masked(per_term[t]["runs"][ri], mask), deleted
+                    )
+                    seed_dec[t][ri] = (mask, tri)
+                    tris.append(tri)
+                    stats.blocks_decoded += int(mask.sum())
+            sdec[t] = _combine(tris)
+        sdoc, sacc = _merge_accumulate(sdec, per_term, terms, avgdl, k1, b, cand=seed)
+        if sacc.size >= k:
+            theta = max(theta, float(np.partition(sacc, -k)[-k]))
+    # keep true ties; tie_margin widens the window so rounded near-ties
+    # of the kth score are never pruned
+    theta_eff = theta - tie_margin - 1e-12
+
+    # 3. essential-term split (MaxScore)
+    nonessential: set[str] = set()
+    cum = 0.0
+    for t in sorted(terms, key=lambda u: max_ub[u]):
+        if t == best_term:
+            continue  # fully decoded already; always treated essential
+        if cum + max_ub[t] < theta_eff:
+            cum += max_ub[t]
+            nonessential.add(t)
+        else:
+            break
+
+    # 4. survival masks for essential terms (tight RMQ range bounds
+    # against ALL other terms, essential or not)
     surviving: dict[str, list[np.ndarray]] = {}
     for t in terms:
+        if t == best_term or t in nonessential:
+            continue
         mask_per_run = []
         for r in runidx[t]:
             bound = r.ub.copy()
@@ -561,73 +677,88 @@ def _pruned_candidates(
                 for ur in runidx[u]:
                     np.maximum(ou, ur.range_max(r.starts, r.ends), out=ou)
                 bound += ou
-            # keep true ties; tie_margin widens the window so rounded
-            # near-ties of the kth score are never pruned
-            mask_per_run.append(bound >= theta - tie_margin - 1e-12)
+            mask_per_run.append(bound >= theta_eff)
         surviving[t] = mask_per_run
 
-    # 3. decode each surviving block ONCE, keeping full triples; the
-    # candidate set is their doc union (plus all of best_term — already
-    # decoded for θ; a candidate superset is always rank-safe)
-    dec_surv: dict[str, list] = {}
+    # 5a. decode surviving-not-yet-decoded blocks; candidate set = docs
+    # of surviving blocks ∪ best_full (a candidate superset is always
+    # rank-safe; seed-decoded docs are candidates only when their block
+    # also survives — otherwise they were incidental)
+    dec_parts: dict[str, list] = {}
+    dec_mask: dict[str, list[np.ndarray]] = {}
     cand_parts = [best_full[0]]
     for t in terms:
-        parts = []
-        if t != best_term:
-            for ri, seg in enumerate(per_term[t]["runs"]):
-                m = surviving[t][ri]
-                if not m.any():
-                    continue
-                triple = decode_masked(seg, m)
-                parts.append(triple)
-                cand_parts.append(triple[0])
-        dec_surv[t] = parts
+        if t == best_term:
+            continue
+        parts, masks = [], []
+        surv = surviving.get(t)
+        for ri, r in enumerate(runidx[t]):
+            nb = len(r.ub)
+            dm = np.zeros(nb, dtype=bool)
+            sm_tri = seed_dec[t].get(ri)
+            if sm_tri is not None:
+                dm |= sm_tri[0]
+                parts.append(sm_tri[1])
+            if surv is not None:
+                sm = surv[ri]
+                fresh = sm & ~dm
+                if fresh.any():
+                    tri = _alive_triple(
+                        decode_masked(per_term[t]["runs"][ri], fresh), deleted
+                    )
+                    parts.append(tri)
+                    cand_parts.append(tri[0])
+                    stats.blocks_decoded += int(fresh.sum())
+                    dm |= fresh
+                if sm_tri is not None and sm_tri[1][0].size:
+                    overlap = sm & sm_tri[0]
+                    if overlap.any():
+                        ids = sm_tri[1][0]
+                        blk = np.minimum(
+                            np.searchsorted(r.ends, ids, side="left"), nb - 1
+                        )
+                        sel = sm[blk]
+                        if sel.any():
+                            cand_parts.append(ids[sel])
+            masks.append(dm)
+        dec_parts[t] = parts
+        dec_mask[t] = masks
     cand_parts = [p for p in cand_parts if p.size]
     if not cand_parts:
-        cand = np.empty(0, np.int64)
+        return e, {t: empty3 for t in terms}
+    tot = sum(p.size for p in cand_parts)
+    mx = max(int(p.max()) for p in cand_parts)
+    if mx < max(1 << 22, 8 * tot):  # dense union (O(n), no sort)
+        pres = np.zeros(mx + 1, dtype=bool)
+        for p in cand_parts:
+            pres[p] = True
+        cand = np.flatnonzero(pres)
     else:
-        tot = sum(p.size for p in cand_parts)
-        mx = max(int(p.max()) for p in cand_parts)
-        if mx < max(1 << 22, 8 * tot):  # dense union (O(n), no sort)
-            pres = np.zeros(mx + 1, dtype=bool)
-            for p in cand_parts:
-                pres[p] = True
-            cand = np.flatnonzero(pres)
-        else:
-            cand = np.unique(np.concatenate(cand_parts))
+        cand = np.unique(np.concatenate(cand_parts))
     if cand.size == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, {t: (e, e, e) for t in terms}
+        return e, {t: empty3 for t in terms}
 
-    # 4. gather: per term additionally decode ONLY the not-yet-decoded
-    # blocks that may contain a candidate, so every candidate's score
-    # is complete; concat order within a term is irrelevant (the
-    # aggregation sorts globally)
+    # 5b. gather: per term decode ONLY the not-yet-decoded blocks that
+    # may contain a candidate, so every candidate's score is complete;
+    # concat order within a term is irrelevant (the aggregation sorts
+    # globally)
     decoded = {}
-    e = np.empty(0, dtype=np.int64)
     for t in terms:
         if t == best_term:
             decoded[t] = best_full  # already full — lookups complete
             continue
-        parts = dec_surv[t]
-        n_extra = 0
+        parts = dec_parts[t]
         for ri, r in enumerate(runidx[t]):
-            surv = surviving[t][ri]
-            if surv.all():
-                continue  # nothing left to gather for this run
-            extra = r.blocks_with_candidates(cand) & ~surv
+            dm = dec_mask[t][ri]
+            if dm.all():
+                continue
+            extra = r.blocks_with_candidates(cand) & ~dm
             if extra.any():
-                parts.append(decode_masked(per_term[t]["runs"][ri], extra))
-                n_extra += int(extra.sum())
-        stats.blocks_decoded += n_extra + int(
-            sum(m.sum() for m in surviving[t])
-        )
-        if not parts:
-            decoded[t] = (e, e, e)
-        elif len(parts) == 1:
-            decoded[t] = parts[0]
-        else:
-            decoded[t] = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+                parts.append(
+                    _alive_triple(decode_masked(per_term[t]["runs"][ri], extra), deleted)
+                )
+                stats.blocks_decoded += int(extra.sum())
+        decoded[t] = _combine(parts)
     return cand, decoded
 
 
@@ -677,6 +808,79 @@ class _SegmentCache:
             self._bytes -= old_nb
 
 
+class _ContribCache:
+    """Byte-capped LRU: term -> DENSE per-doc BM25 contribution array
+    (``arr[doc_id] = idf(term) * tf_norm(tf, dl)``, float64).
+
+    The serving-path answer to stopword-class queries, where block-max
+    pruning is structurally useless (every 128-doc block of a uniform
+    hot term contains a near-max-impact doc, so every block bound beats
+    any θ) and the cost is raw decode+score volume: a hot term's
+    contributions are computed ONCE per engine and summing k dense
+    arrays + one top-k replaces k full VByte decodes per query.  Valid
+    for the engine's lifetime because contributions depend only on the
+    pinned (df, n_docs, avgdl, tombstones) view.  Dense is the
+    single-node serving regime by definition (doc-id space fits one
+    node); the 10^12-doc path is the sharded plan, which never builds
+    these.
+
+    Arrays live in a lazily-grown, ``MADV_POPULATE_WRITE``-prefaulted
+    arena (bump allocation): on this VM class a first-touch scatter
+    into a fresh 16 MB array costs ~1.5 s of page faults, while
+    populate-prefault + memset costs ~0.1 s (see prefault_heap).  The
+    arena cannot reclaim evicted entries, so the cap is a hard budget:
+    when full, further terms simply stay uncached (callers fall back
+    to per-query decode)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d: dict[str, np.ndarray] = {}
+        self._arena: np.ndarray | None = None
+        self._off = 0
+
+    def get(self, term: str) -> np.ndarray | None:
+        return self._d.get(term)
+
+    @staticmethod
+    def _populate(buf: np.ndarray, start: int, length: int) -> None:
+        import ctypes
+
+        try:
+            libc = ctypes.CDLL("libc.so.6", use_errno=True)
+            addr = buf.ctypes.data + start
+            page = 4096
+            aligned = (addr + page - 1) // page * page
+            size = (length - (aligned - addr)) // page * page
+            if size <= 0:
+                return
+            MADV_HUGEPAGE, MADV_POPULATE_WRITE = 14, 23
+            libc.madvise(ctypes.c_void_p(aligned), ctypes.c_size_t(size), MADV_HUGEPAGE)
+            rc = libc.madvise(
+                ctypes.c_void_p(aligned), ctypes.c_size_t(size), MADV_POPULATE_WRITE
+            )
+            if rc != 0:  # pre-5.14 kernel: strided touch fallback
+                buf[start : start + length : page] = 0
+        except Exception:
+            pass
+
+    def alloc_zeros(self, n: int) -> np.ndarray | None:
+        """A zeroed float64[n] view from the prefaulted arena, or None
+        when the budget is spent."""
+        nb = 8 * n
+        if self._arena is None:
+            self._arena = np.empty(self.max_bytes, dtype=np.uint8)
+        if self._off + nb > self.max_bytes:
+            return None
+        self._populate(self._arena, self._off, nb)
+        v = self._arena[self._off : self._off + nb].view(np.float64)
+        self._off += nb
+        v[:] = 0.0
+        return v
+
+    def put(self, term: str, arr: np.ndarray) -> None:
+        self._d[term] = arr
+
+
 class QueryEngine:
     """Reusable query handle over a built index.
 
@@ -707,24 +911,48 @@ class QueryEngine:
         import os as _os
 
         self.spark = spark
-        self.paths = IndexPaths(index_dir)
+        # pin the committed serving view in ONE read of the atomically-
+        # replaced pointer: base generation, tier list, and corpus stats
+        # all come from the same snapshot, so an engine constructed at
+        # any instant during compaction sees either the complete old or
+        # the complete new view — never stale tiers over a new base or
+        # stats out of step with the tier list (rebuild the engine to
+        # see a newer compaction; retired generations survive one full
+        # compaction cycle — gc_stale_generations' grace policy)
+        cur = IndexPaths(index_dir).read_current()
+        self.paths = IndexPaths(index_dir, gen=cur["gen"])
         self.meta = load_index_meta(index_dir)
-        srow = spark.read.parquet(self.paths.stats_table).collect()[0]
-        self.n_docs, self.avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+        if cur.get("stats"):
+            self.n_docs = int(cur["stats"]["n_docs"])
+            self.avgdl = float(cur["stats"]["avgdl"])
+        else:  # pre-pointer index (or mid-first-build): parquet fallback
+            srow = spark.read.parquet(self.paths.stats_table).collect()[0]
+            self.n_docs, self.avgdl = int(srow["n_docs"]), float(srow["avgdl"])
         self.k1, self.b, self.prune = k1, b, prune
         self.tie_margin = tie_margin
         self._local_ds = None
         if cache_mb is None:
             cache_mb = int(_os.environ.get("BGS_SEGMENT_CACHE_MB", "256"))
         self.seg_cache = _SegmentCache(cache_mb << 20)
+        self.contrib_cache = _ContribCache(
+            int(_os.environ.get("BGS_CONTRIB_CACHE_MB", "384")) << 20
+        )
         # delta tiers from incremental compaction (streaming/ingest.
         # compact_tiered): unioned with the base segments on every path.
         # Tiers are doc-disjoint by the append-only id contract, so the
         # kernels' per-(term, doc) uniqueness assumption holds; global
-        # df = sum over base + tiers.  Snapshot semantics: the tier list
-        # is pinned at engine construction (rebuild the engine to see a
-        # newer compaction).
-        self.tiers = self.paths.read_tiers()
+        # df = sum over base + tiers.
+        self.tiers = [t["id"] for t in cur["tiers"]]
+        # live tombstones (operators/deletes.py): kernels drop these doc
+        # ids after decode; term-stats roots gain the NEGATIVE df-delta
+        # dirs so summed global df stays exact.  Small by contract
+        # (purged at every full compaction), shipped to executor kernels
+        # inside the UDF closure.
+        from bilies_go_spark.operators.deletes import read_deleted_ids
+
+        self._delete_batches = [d["id"] for d in cur.get("deletes", [])]
+        _del = read_deleted_ids(self.paths, cur)
+        self.deleted = _del if _del.size else None
         # fault in the serving arena once so per-query numpy temporaries
         # never pay first-touch page faults (see prefault_heap)
         import bilies_go_spark
@@ -738,9 +966,14 @@ class QueryEngine:
         return [r for r in roots if os.path.isdir(r)]
 
     def _ts_roots(self) -> list[str]:
-        roots = [self.paths.term_stats] + [
-            self.paths.tier_term_stats(t) for t in self.tiers
-        ]
+        from bilies_go_spark.operators.deletes import delete_term_deltas_dir
+
+        roots = (
+            [self.paths.term_stats]
+            + [self.paths.tier_term_stats(t) for t in self.tiers]
+            # negative deltas: the existing sum(df) nets out tombstones
+            + [delete_term_deltas_dir(self.paths, b) for b in self._delete_batches]
+        )
         return [r for r in roots if os.path.isdir(r)]
 
     def _segments_df(self, terms: list[str], buckets: list[int]) -> DataFrame:
@@ -781,15 +1014,48 @@ class QueryEngine:
 
     # -- distributed path ----------------------------------------------------
 
-    def topk_distributed(self, queries: pd.DataFrame, n_shards: int = 1) -> DataFrame:
-        """Cluster path: pruned segment scan + broadcast joins + one
-        kernel task per query.  Right for large query batches — the
-        per-query work parallelizes across executors.
+    #: auto-sharding aims for roughly this many postings per shard task
+    SHARD_TARGET_POSTINGS = 500_000
 
-        ``n_shards > 1`` switches to the doc-range-sharded plan
-        (:meth:`topk_sharded`), which parallelizes WITHIN a query —
-        the right plan when single queries touch huge posting lists
-        (hot terms at 10^12-doc scale)."""
+    def _auto_shards(self, queries: pd.DataFrame) -> int:
+        """Pick the shard count from the heaviest query's estimated
+        posting volume (Σ df over its terms — one tiny driver-side
+        pyarrow read of the pruned term-stats, no Spark job).  Light
+        batches keep the one-task-per-query plan (n_shards=1); heavy
+        queries get intra-query parallelism so no single task ever
+        holds a full hot-term posting list — the plan that survives
+        10^12 docs without a mode knob."""
+        import pyarrow.dataset as pads
+
+        terms, buckets = self._terms_and_buckets(queries)
+        if not terms:
+            return 1
+        _, ts_dss = self._datasets()
+        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        df_map: dict[str, int] = {}
+        for ds in ts_dss:
+            t = ds.to_table(filter=filt, columns=["term", "df"])
+            for term, dfreq in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                df_map[term] = df_map.get(term, 0) + int(dfreq)
+        vol = max(
+            (
+                sum(df_map.get(t, 0) for t in _tokenize_terms(q.text))
+                for q in queries.itertuples(index=False)
+            ),
+            default=0,
+        )
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
+
+    def topk_distributed(self, queries: pd.DataFrame, n_shards: int | None = None) -> DataFrame:
+        """Cluster path: pruned segment scan + broadcast joins + one
+        kernel task per query, or the doc-range-sharded plan
+        (:meth:`topk_sharded`) which parallelizes WITHIN a query — the
+        right plan when single queries touch huge posting lists (hot
+        terms at 10^12-doc scale).  ``n_shards=None`` picks
+        automatically from the estimated posting volume."""
+        if n_shards is None:
+            n_shards = self._auto_shards(queries)
         if n_shards > 1:
             return self.topk_sharded(queries, n_shards)
         qt = query_terms_df(self.spark, queries)
@@ -802,6 +1068,7 @@ class QueryEngine:
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
         margin = self.tie_margin
+        deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -814,7 +1081,7 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
-                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
@@ -844,6 +1111,7 @@ class QueryEngine:
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
         margin = self.tie_margin
+        deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -851,7 +1119,7 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return conjunctive_query_kernel(
-                pdf, k1, b, n_docs, avgdl, tie_margin=margin
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
@@ -885,6 +1153,11 @@ class QueryEngine:
         tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        # the id space is only *approximately* [0, n_docs): tombstones
+        # shrink n_docs below the max live id, and upserted docs carry
+        # fresh ids above it — the LAST shard must be unbounded so no
+        # doc falls outside every shard (exactness, not balance)
+        bounds[-1] = np.iinfo(np.int64).max
         slice_schema = (
             "query_id bigint, k int, term string, df bigint, shard int, "
             + SEGMENT_SLICE_FIELDS
@@ -898,6 +1171,8 @@ class QueryEngine:
 
         sliced = joined.mapInPandas(slicer, schema=slice_schema)
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -912,7 +1187,9 @@ class QueryEngine:
             bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
-            return _score_shard(pdf, lo, hi, k1, b, n_docs, avgdl)
+            return _score_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
 
         partial = sliced.groupBy("query_id", "shard").applyInPandas(
             shard_kernel, schema=TOPK_SCHEMA
@@ -923,12 +1200,25 @@ class QueryEngine:
                 queries[["query_id", "k"]], schema="query_id bigint, k int"
             )
         )
-        return (
+        ranked = (
             partial.drop("rank")
             .join(kdf, "query_id")
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= F.col("k"))
-            .select("query_id", "rank", "doc_id", "score")
+        )
+        if margin > 0.0:
+            # margin semantics (see _topk_select): keep every doc within
+            # the margin of the kth raw score, so a downstream rounded
+            # re-rank is exact.  kth score = min over the raw top-k.
+            wq = Window.partitionBy("query_id")
+            kth = F.min(
+                F.when(F.col("rank") <= F.col("k"), F.col("score"))
+            ).over(wq)
+            keep = (F.col("rank") <= F.col("k")) | (
+                F.col("score") >= kth - F.lit(margin)
+            )
+            return ranked.filter(keep).select("query_id", "rank", "doc_id", "score")
+        return ranked.filter(F.col("rank") <= F.col("k")).select(
+            "query_id", "rank", "doc_id", "score"
         )
 
     # -- driver-local serving path -------------------------------------------
@@ -986,17 +1276,109 @@ class QueryEngine:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
+    #: df/n_docs above this -> the term takes the dense-contribution path
+    HOT_DF_FRAC = 0.01
+    #: dense arrays only while the id space fits a serving node's RAM
+    DENSE_MAX_ID = 1 << 23  # 8M ids = 64 MB float64 per term
+
+    def _dense_contrib(self, term: str, rows: pd.DataFrame) -> np.ndarray | None:
+        """Dense per-doc contribution array for a hot term (cached).
+        None when the term's id space exceeds the dense bound."""
+        arr = self.contrib_cache.get(term)
+        if arr is not None:
+            return arr
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        ids, tfs, dls = _decode_term_runs(runs, None, deleted=self.deleted)
+        if ids.size == 0:
+            arr = np.zeros(1, dtype=np.float64)
+            self.contrib_cache.put(term, arr)
+            return arr
+        mx = int(ids.max())
+        if mx >= self.DENSE_MAX_ID:
+            return None
+        dfreq = int(rows["df"].iloc[0])
+        idf = float(np.log1p((self.n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+        arr = self.contrib_cache.alloc_zeros(mx + 1)
+        if arr is None:
+            return None  # cache budget spent — stay on the kernel path
+        # one posting per (term, doc) — salted runs and tiers partition
+        # the doc space — so plain assignment is the exact scatter
+        arr[ids] = idf * _tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
+        self.contrib_cache.put(term, arr)
+        return arr
+
+    def _topk_dense(self, qterms: list[str], pdf: pd.DataFrame, qid: int, k: int):
+        """Dense exhaustive evaluation: one accumulator over the doc-id
+        space; HOT terms add their cached dense contribution arrays,
+        rare terms decode (cheap — they are rare) and scatter-add.
+        Terms fold in ascending order, and adding a float64 to 0.0 or
+        skipping an absent term is bit-neutral, so every doc's sum is
+        the same pinned ascending-term float64 fold as the kernel's
+        bincount and the SQL oracle.  Exact by construction (no bounds,
+        no pruning) — the win over the kernel is that hot terms never
+        decode after their first query (_ContribCache).
+
+        Returns None when any term's id space exceeds the dense bound
+        (fall back to the block-max kernel)."""
+        lo_df = max(1000, self.HOT_DF_FRAC * self.n_docs)
+        parts = []  # ascending-term order: ("dense", arr) | ("sparse", ids, contrib)
+        size = 1
+        for t in qterms:  # sorted by caller — pinned fold order
+            rows = pdf[pdf["term"] == t]
+            dfreq = int(rows["df"].iloc[0])
+            if dfreq >= lo_df:
+                a = self._dense_contrib(t, rows)
+                if a is None:
+                    return None
+                parts.append(("dense", a, None))
+                size = max(size, a.size)
+            else:
+                runs = [row_to_segment(r) for _, r in rows.iterrows()]
+                ids, tfs, dls = _decode_term_runs(runs, None, deleted=self.deleted)
+                if ids.size == 0:
+                    continue
+                mx = int(ids.max())
+                if mx >= self.DENSE_MAX_ID:
+                    return None
+                idf = float(np.log1p((self.n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+                parts.append(
+                    ("sparse", ids, idf * _tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
+                )
+                size = max(size, mx + 1)
+        if not parts:
+            return None
+        acc = np.zeros(size, dtype=np.float64)
+        for kind, a, contrib in parts:
+            if kind == "dense":
+                acc[: a.size] += a
+            else:
+                acc[a] += contrib  # ids unique per (term, doc) — exact scatter
+        doc = np.flatnonzero(acc)  # contributions are strictly positive
+        if doc.size == 0:
+            return None
+        sel = _topk_select(doc, acc[doc], k, tie_margin=self.tie_margin)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(sel.size, qid, dtype=np.int64),
+                "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                "doc_id": doc[sel],
+                "score": acc[doc][sel],
+            }
+        )
+
     def topk_pandas(self, queries: pd.DataFrame) -> pd.DataFrame:
         """Serving path: read only the query terms' segment rows via
         pyarrow (term_bucket partition pruning + term predicate + LRU
-        term cache, no Spark job) and run the same block-max kernel
-        driver-side.
+        term cache, no Spark job) and score driver-side.
 
-        This is the low-latency point-query surface a search frontend
-        hits; the distributed path is for bulk evaluation.  Both paths
-        share ``score_query_kernel``, so rank identity between them is
-        structural.  Latency is O(bytes of the query's posting lists),
-        independent of cluster scheduling.
+        Two regimes, both exact: queries whose terms are ALL hot take
+        the dense-contribution path (block-max pruning cannot skip any
+        block of a uniform hot list, so the win is amortizing the
+        decode+score across the query stream — see _ContribCache);
+        everything else runs the block-max pruned kernel, which is
+        already cheap when at least one term is rare.  This is the
+        low-latency point-query surface a search frontend hits; the
+        distributed path is for bulk evaluation.
         """
         empty = pd.DataFrame(
             {"query_id": [], "rank": [], "doc_id": [], "score": []}
@@ -1013,6 +1395,11 @@ class QueryEngine:
             pdf = seg_pdf[seg_pdf["term"].isin(qterms)]
             if pdf.empty:
                 continue
+            present = sorted(pdf["term"].unique())
+            dense = self._topk_dense(present, pdf, int(q.query_id), int(q.k))
+            if dense is not None:
+                outs.append(dense)
+                continue
             pdf = pdf.assign(query_id=int(q.query_id), k=int(q.k))
             outs.append(
                 score_query_kernel(
@@ -1023,6 +1410,7 @@ class QueryEngine:
                     self.avgdl,
                     prune=self.prune,
                     tie_margin=self.tie_margin,
+                    deleted=self.deleted,
                 )
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
