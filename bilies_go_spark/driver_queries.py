@@ -307,6 +307,137 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- phrase queries (positional index) ---------------------------------------
+# Docs must contain the query tokens as a CONTIGUOUS run in token space;
+# matches are BM25-scored over the phrase's distinct terms.  The oracle
+# expresses adjacency as substring containment on the space-joined
+# token string — exact in token space, so the two engines agree by
+# construction (same tokenizer on both sides).
+
+PHRASE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 10),           # common bigram
+    (1, "table table", 10),         # repeated term -> multi-slot
+    (2, "spark window group", 10),  # rare trigram
+    (3, "sort key", 10),
+    (4, "a a the", 10),             # hot terms, adjacency-selective
+    (5, "dup dup", 10),             # rare repeated
+    (6, "zzzmissing table", 10),    # absent term -> empty
+    (7, "Merge, BATCH!!", 10),      # normalization -> "merge batch"
+]
+
+
+def phrase_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in PHRASE_QUERIES],
+            "text": [q[1] for q in PHRASE_QUERIES],
+            "k": [q[2] for q in PHRASE_QUERIES],
+        }
+    )
+
+
+def _pos_index_dir_for(sf_dir: str) -> str:
+    import bilies_go_spark
+
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bilies_go_spark.__version__}|pos1".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bgs_docs_pindex_{h}")
+
+
+def build_documents_index_positional(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the POSITIONAL posting-segment index over
+    `documents` (BuildConfig(positions=True) — the Lucene
+    DOCS_AND_FREQS_AND_POSITIONS analogue)."""
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+
+    _ensure_pyfiles(spark)
+    idx = _pos_index_dir_for(sf_dir)
+    if os.path.exists(os.path.join(idx, "_index_meta.json")) and os.path.exists(
+        os.path.join(idx, "corpus_stats")
+    ):
+        return idx
+    corpus = documents_corpus(spark, sf_dir)
+    cfg = BuildConfig(
+        n_buckets=8, build_part_expr="source", target_postings_per_salt=200,
+        positions=True,
+    )
+    build_index(spark, corpus, idx, cfg)
+    return idx
+
+
+def bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-k on the positional index — must match the pure-SQL
+    token-string-containment oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_phrase(phrase_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            phrase_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_phrase_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows, qtrows = [], []
+    for qid, text, k in PHRASE_QUERIES:
+        toks = tokenize_py(text)
+        if not toks:
+            continue
+        qrows.append(f"({qid}, '{' '.join(toks)}', {k})")
+        for t in sorted(set(toks)):
+            qtrows.append(f"({qid}, '{t}')")
+    values = ", ".join(qrows)
+    qt_values = ", ".join(qtrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tstr AS (
+  SELECT doc_id, ' ' || array_to_string({duck_tokens()}, ' ') || ' ' AS s
+  FROM documents
+),
+q(query_id, phrase, k) AS (VALUES {values}),
+qt(query_id, term) AS (VALUES {qt_values}),
+m AS (
+  SELECT q.query_id, d.doc_id, q.k
+  FROM q JOIN tstr d ON strpos(d.s, ' ' || q.phrase || ' ') > 0
+),
+sc AS (
+  SELECT m.query_id, m.doc_id, max(m.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN post p ON p.term = qt.term AND p.doc_id = m.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -671,6 +802,9 @@ def registry() -> dict[str, tuple]:
         "bm25_topk_streamed": (bm25_streamed, bm25_oracle_sql()),
         # AND semantics: intersection-driven kernel, HAVING-count oracle
         "bm25_topk_conjunctive": (bm25_conjunctive, bm25_conjunctive_oracle_sql()),
+        # phrase match on the positional index; oracle = token-string
+        # substring containment (exact in token space)
+        "bm25_topk_phrase": (bm25_phrase, bm25_phrase_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

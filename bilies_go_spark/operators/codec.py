@@ -92,6 +92,62 @@ class PostingSegment:
     block_doc_off: np.ndarray  # int64[n_blocks] byte offset into doc_gaps_vb
     block_tf_off: np.ndarray
     block_dl_off: np.ndarray
+    # optional positional stream (phrase queries): per doc, tf VByte
+    # position deltas (first absolute within the doc) concatenated in
+    # doc order.  ``block_pos_off`` addresses block starts; within a
+    # block, doc i's positions are values [Σ tf_<i, Σ tf_<=i) of the
+    # block's decoded stream — tf is the per-doc position count, so no
+    # extra per-doc length array is stored.
+    positions_vb: bytes = b""
+    block_pos_off: np.ndarray | None = None
+
+    @property
+    def has_positions(self) -> bool:
+        return self.block_pos_off is not None
+
+
+def positions_to_blobs(flat_pos: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Encode per-group token positions to per-group VByte blobs.
+
+    ``flat_pos`` concatenates each group's ascending positions
+    (group = one (doc, term) pair); ``counts`` gives group sizes.
+    Deltas are within-group (first value absolute), so a blob is
+    self-contained and can be concatenated with other docs' blobs in
+    any order.  One vectorized encode of the whole batch; the only
+    Python loop is the final per-group byte slicing."""
+    counts = np.asarray(counts, dtype=np.int64)
+    p = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    if p.size == 0:
+        return [b""] * len(counts)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    d = np.empty(p.size, dtype=np.int64)
+    d[0] = p[0]
+    d[1:] = p[1:] - p[:-1]
+    nz = starts[counts > 0]
+    d[nz] = p[nz]  # each group's first delta is its absolute position
+    vals = d.astype(np.uint64)
+    buf = vbyte_encode(vals).tobytes()
+    nb = 1 + np.searchsorted(_THRESHOLDS, vals, side="right").astype(np.int64)
+    byte_ends = np.concatenate([[0], np.cumsum(nb)])
+    return [
+        buf[byte_ends[s] : byte_ends[e]]
+        for s, e in zip(starts, ends)
+    ]
+
+
+def _restore_positions(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Invert :func:`positions_to_blobs` for a decoded delta stream:
+    per-doc cumulative sums via one global cumsum minus group bases."""
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    c = np.cumsum(deltas.astype(np.int64))
+    base = np.zeros(tfs.size, dtype=np.int64)
+    nz = starts > 0
+    base[nz] = c[starts[nz] - 1]
+    return c - np.repeat(base, tfs)
 
 
 def encode_postings(
@@ -99,15 +155,24 @@ def encode_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    pos_blobs: list[bytes] | None = None,
 ) -> PostingSegment:
-    """Encode one term's postings (doc_ids strictly increasing)."""
+    """Encode one term's postings (doc_ids strictly increasing).
+
+    ``pos_blobs`` (optional): per-doc VByte position blobs — from
+    :func:`positions_to_blobs` — aligned with ``doc_ids``; enables
+    phrase queries on the segment."""
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     t = np.ascontiguousarray(tfs, dtype=np.int64)
     ln = np.ascontiguousarray(dls, dtype=np.int64)
     n = d.size
     if n == 0:
         e = np.empty(0, dtype=np.int64)
-        return PostingSegment(0, block_size, b"", b"", b"", e, e, e, e, e, e)
+        return PostingSegment(
+            0, block_size, b"", b"", b"", e, e, e, e, e, e,
+            positions_vb=b"",
+            block_pos_off=e if pos_blobs is not None else None,
+        )
     if n > 1 and not (d[1:] > d[:-1]).all():
         raise ValueError("doc_ids must be strictly increasing")
     gaps = np.empty(n, dtype=np.uint64)
@@ -127,6 +192,14 @@ def encode_postings(
     doc_csum = np.concatenate([[0], np.cumsum(doc_nb)])
     tf_csum = np.concatenate([[0], np.cumsum(tf_nb)])
     dl_csum = np.concatenate([[0], np.cumsum(dl_nb)])
+    positions_vb, block_pos_off = b"", None
+    if pos_blobs is not None:
+        if len(pos_blobs) != n:
+            raise ValueError("pos_blobs must align with doc_ids")
+        pos_lens = np.fromiter((len(x) for x in pos_blobs), dtype=np.int64, count=n)
+        pos_csum = np.concatenate([[0], np.cumsum(pos_lens)])
+        positions_vb = b"".join(pos_blobs)
+        block_pos_off = pos_csum[bstarts]
     return PostingSegment(
         n_docs=int(n),
         block_size=block_size,
@@ -139,6 +212,8 @@ def encode_postings(
         block_doc_off=doc_csum[bstarts],
         block_tf_off=tf_csum[bstarts],
         block_dl_off=dl_csum[bstarts],
+        positions_vb=positions_vb,
+        block_pos_off=block_pos_off,
     )
 
 
@@ -188,6 +263,48 @@ def decode_block(seg: PostingSegment, i: int) -> tuple[np.ndarray, np.ndarray, n
     return decode_block_range(seg, i, i)
 
 
+def decode_block_range_pos(
+    seg: PostingSegment, i0: int, i1: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Positional twin of :func:`decode_block_range`: additionally
+    decodes the blocks' position stream -> (doc_ids, tfs, dls, pos)
+    where ``pos`` is flat absolute token positions aligned with
+    ``np.repeat(doc_ids, tfs)``.  Position deltas are per-doc
+    self-contained, so a range decode needs no cross-block base."""
+    if not seg.has_positions:
+        raise ValueError("segment has no positional stream")
+    doc_ids, tfs, dls = decode_block_range(seg, i0, i1)
+    n_blocks = len(seg.block_last_doc_id)
+    start = int(seg.block_pos_off[i0])
+    end = int(seg.block_pos_off[i1 + 1]) if i1 + 1 < n_blocks else len(seg.positions_vb)
+    deltas = vbyte_decode(np.frombuffer(seg.positions_vb, dtype=np.uint8)[start:end])
+    pos = _restore_positions(deltas, tfs)
+    return doc_ids, tfs, dls, pos
+
+
+def decode_masked_pos(
+    seg: PostingSegment, mask: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Positional twin of :func:`decode_masked` (same consecutive-range
+    batching)."""
+    nb = len(seg.block_last_doc_id)
+    e = np.empty(0, dtype=np.int64)
+    if nb == 0:
+        return e, e, e, e
+    if mask is None or mask.all():
+        return decode_block_range_pos(seg, 0, nb - 1)
+    sel = np.flatnonzero(mask)
+    if sel.size == 0:
+        return e, e, e, e
+    brk = np.flatnonzero(np.diff(sel) > 1)
+    starts = np.concatenate([[sel[0]], sel[brk + 1]])
+    ends = np.concatenate([sel[brk], [sel[-1]]])
+    parts = [decode_block_range_pos(seg, int(a), int(b)) for a, b in zip(starts, ends)]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
 def decode_masked(
     seg: PostingSegment, mask: np.ndarray | None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -219,7 +336,16 @@ def decode_masked(
 
 
 def segment_to_row(term: str, salt: int, seg: PostingSegment) -> dict:
-    """Flatten a PostingSegment into a dict matching SEGMENT_SCHEMA."""
+    """Flatten a PostingSegment into a dict matching SEGMENT_SCHEMA
+    (plus the positional columns when the segment carries them)."""
+    row = _segment_row_base(term, salt, seg)
+    if seg.has_positions:
+        row["positions_vb"] = seg.positions_vb
+        row["block_pos_off"] = [int(x) for x in seg.block_pos_off]
+    return row
+
+
+def _segment_row_base(term: str, salt: int, seg: PostingSegment) -> dict:
     return {
         "term": term,
         "salt": int(salt),
@@ -239,7 +365,12 @@ def segment_to_row(term: str, salt: int, seg: PostingSegment) -> dict:
 
 def row_to_segment(row) -> PostingSegment:
     """Inverse of :func:`segment_to_row` (accepts dict-like / pd row)."""
+    has_pos = "block_pos_off" in row and row["block_pos_off"] is not None
     return PostingSegment(
+        positions_vb=bytes(row["positions_vb"]) if has_pos else b"",
+        block_pos_off=(
+            np.asarray(row["block_pos_off"], dtype=np.int64) if has_pos else None
+        ),
         n_docs=int(row["n_docs"]),
         block_size=int(row["block_size"]),
         doc_gaps_vb=bytes(row["doc_gaps_vb"]),

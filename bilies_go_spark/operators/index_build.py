@@ -56,6 +56,10 @@ from bilies_go_spark.plans.lineage import Lineage, StageTimer
 from bilies_go_spark.sources import tableio
 
 RUNS_SCHEMA = "build_part string, doc_id bigint, term string, tf int, dl int"
+# positional builds carry a per-(doc, term) VByte position blob through
+# the same single shuffle (codec.positions_to_blobs — ~1 byte/token, the
+# same order as the gap/tf streams themselves)
+RUNS_POS_SCHEMA = RUNS_SCHEMA + ", pos_vb binary"
 SEGMENT_SCHEMA = (
     "term string, salt int, term_bucket int, n_docs int, block_size int, "
     "doc_gaps_vb binary, tfs_vb binary, dls_vb binary, "
@@ -63,6 +67,7 @@ SEGMENT_SCHEMA = (
     "block_min_dl array<bigint>, block_doc_off array<bigint>, "
     "block_tf_off array<bigint>, block_dl_off array<bigint>"
 )
+SEGMENT_POS_SCHEMA = SEGMENT_SCHEMA + ", positions_vb binary, block_pos_off array<bigint>"
 TERM_STATS_SCHEMA = "term string, df bigint, cf bigint, term_bucket int"
 
 _PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
@@ -140,14 +145,68 @@ def _doc_local_tf(batches):
         )
 
 
-def _make_encoder(block_size: int):
+def _doc_local_tf_pos(batches):
+    """Positional twin of :func:`_doc_local_tf`: additionally emits
+    ``pos_vb`` — the (doc, term) pair's token positions as a
+    self-contained VByte delta blob (codec.positions_to_blobs), encoded
+    doc-locally BEFORE the shuffle so the position stream compresses at
+    the same point the tf stream does."""
+    from bilies_go_spark.operators.codec import positions_to_blobs
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        toks = pdf["text"].fillna("").str.lower().str.split(_PY_SPLIT)
+        s = toks.explode()
+        s = s[s.notna() & (s != "")]
+        if s.empty:
+            continue
+        row_idx = s.index.to_numpy()
+        frame = pd.DataFrame(
+            {
+                "build_part": pdf["build_part"].to_numpy()[row_idx],
+                "doc_id": pdf["doc_id"].to_numpy()[row_idx],
+                "term": s.to_numpy(),
+            }
+        )
+        # token position within its doc (explode preserves token order)
+        frame["pos"] = frame.groupby("doc_id", sort=False).cumcount()
+        dl = frame.groupby("doc_id", sort=False).size().rename("dl")
+        # stable sort groups (doc, term) contiguously, positions stay
+        # ascending within each group
+        frame = frame.sort_values(["doc_id", "term"], kind="stable")
+        dc = frame["doc_id"].to_numpy()
+        tm = frame["term"].to_numpy()
+        change = np.concatenate(
+            [[True], (dc[1:] != dc[:-1]) | (tm[1:] != tm[:-1])]
+        )
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.concatenate([starts, [dc.size]]))
+        blobs = positions_to_blobs(frame["pos"].to_numpy(), counts)
+        yield pd.DataFrame(
+            {
+                "build_part": frame["build_part"].to_numpy()[starts],
+                "doc_id": dc[starts].astype("int64"),
+                "term": tm[starts],
+                "tf": counts.astype("int32"),
+                "dl": dl.reindex(dc[starts]).to_numpy().astype("int32"),
+                "pos_vb": blobs,
+            }
+        )
+
+
+def _make_encoder(block_size: int, positions: bool = False):
     def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        pos_blobs = (
+            [bytes(x) for x in pdf["pos_vb"]] if positions else None
+        )
         seg = encode_postings(
             pdf["doc_id"].to_numpy(np.int64),
             pdf["tf"].to_numpy(np.int64),
             pdf["dl"].to_numpy(np.int64),
             block_size=block_size,
+            pos_blobs=pos_blobs,
         )
         row = segment_to_row(str(pdf["term"].iloc[0]), int(pdf["salt"].iloc[0]), seg)
         row["term_bucket"] = int(pdf["term_bucket"].iloc[0])
@@ -258,6 +317,18 @@ class BuildConfig:
     parts_per_chunk: int | None = None  # None = all pending in one chunk
     buckets_per_chunk: int | None = None
     build_part_expr: str = "date_format(ts, 'yyyy-MM-dd')"
+    # store token positions (Lucene DOCS_AND_FREQS_AND_POSITIONS
+    # analogue) — enables phrase queries; costs ~1 byte/token extra in
+    # the runs shuffle and segments, so off by default
+    positions: bool = False
+
+    @property
+    def runs_schema(self) -> str:
+        return RUNS_POS_SCHEMA if self.positions else RUNS_SCHEMA
+
+    @property
+    def segment_schema(self) -> str:
+        return SEGMENT_POS_SCHEMA if self.positions else SEGMENT_SCHEMA
 
 
 def plan_build_parts(corpus: DataFrame, cfg: BuildConfig) -> list[str]:
@@ -305,7 +376,8 @@ def build_runs(
         with StageTimer() as t:
             sub = clean.filter(F.col("build_part").isin(chunk))
             runs = sub.select("build_part", "doc_id", "text").mapInPandas(
-                _doc_local_tf, schema=RUNS_SCHEMA
+                _doc_local_tf_pos if cfg.positions else _doc_local_tf,
+                schema=cfg.runs_schema,
             )
             # the one token-stream shuffle: co-locate each build_part's
             # rows into ~spread tasks (doc-hash fan-out keeps a hot part
@@ -378,12 +450,12 @@ def build_segments(
     chunks = _chunks(pending, cfg.buckets_per_chunk)
     if max_chunks is not None:
         chunks = chunks[:max_chunks]
-    encoder = _make_encoder(cfg.block_size)
+    encoder = _make_encoder(cfg.block_size, positions=cfg.positions)
     for chunk in chunks:
         bucket_ids = [int(b) for b in chunk]
         with StageTimer() as t:
             runs = (
-                spark.read.schema(RUNS_SCHEMA).parquet(paths.runs)
+                spark.read.schema(cfg.runs_schema).parquet(paths.runs)
                 .drop("build_part")  # segment layout is bucket-keyed only
                 .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
                 .filter(F.col("term_bucket").isin(bucket_ids))
@@ -412,10 +484,13 @@ def build_segments(
                         F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")
                     ).cast("int"),
                 )
-                .select("term_bucket", "term", "salt", "doc_id", "tf", "dl")
+                .select(
+                    "term_bucket", "term", "salt", "doc_id", "tf", "dl",
+                    *(["pos_vb"] if cfg.positions else []),
+                )
             )
             segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
-                encoder, schema=SEGMENT_SCHEMA
+                encoder, schema=cfg.segment_schema
             )
             tableio.write_partitioned(segments, paths.segments, ["term_bucket"])
             seg_stats = {
@@ -487,10 +562,14 @@ def encode_segments(
                 "int"
             ),
         )
-        .select("term_bucket", "term", "salt", "doc_id", "tf", "dl")
+        .select(
+            "term_bucket", "term", "salt", "doc_id", "tf", "dl",
+            *(["pos_vb"] if cfg.positions else []),
+        )
     )
     segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
-        _make_encoder(cfg.block_size), schema=SEGMENT_SCHEMA
+        _make_encoder(cfg.block_size, positions=cfg.positions),
+        schema=cfg.segment_schema,
     )
     tableio.write_partitioned(segments, seg_path, ["term_bucket"])
 
@@ -651,6 +730,7 @@ def write_index_meta(paths: IndexPaths, cfg: BuildConfig) -> None:
         "block_size": cfg.block_size,
         "target_postings_per_salt": cfg.target_postings_per_salt,
         "build_part_expr": cfg.build_part_expr,
+        "positions": cfg.positions,
         "format_version": 1,
     }
     tmp = os.path.join(paths.root, "_index_meta.json.tmp")

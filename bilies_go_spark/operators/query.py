@@ -496,6 +496,192 @@ def conjunctive_query_kernel(
     )
 
 
+#: composite (doc, start-position) key stride for phrase verification —
+#: positions must stay below this (docs longer than 2^21 ≈ 2M tokens are
+#: rejected at query time).  Keys fit int64 up to ~4·10^12 docs.
+PHRASE_POS_STRIDE = 1 << 21
+
+
+def _alive_quad(quad, deleted: np.ndarray | None):
+    """Positional twin of :func:`_alive_triple`: drops tombstoned docs
+    AND their position entries (positions align with repeat(ids, tfs))."""
+    if deleted is None or deleted.size == 0:
+        return quad
+    ids, tfs, dls, pos = quad
+    if ids.size == 0:
+        return quad
+    pidx = np.searchsorted(deleted, ids)
+    pidx = np.minimum(pidx, deleted.size - 1)
+    keep = deleted[pidx] != ids
+    if keep.all():
+        return quad
+    return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
+
+
+def _restrict_quad(quad, cand: np.ndarray):
+    """Keep only candidate docs (sorted ``cand``) in a decoded
+    (ids, tfs, dls, pos) quad."""
+    ids, tfs, dls, pos = quad
+    if ids.size == 0 or cand.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e
+    pidx = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+    keep = cand[pidx] == ids
+    if keep.all():
+        return quad
+    return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
+
+
+def phrase_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact phrase top-k over a POSITIONAL index: docs containing the
+    query tokens as a contiguous run (in token space), BM25-scored over
+    the phrase's distinct terms with the same pinned fold as every
+    other kernel.
+
+    Plan: conjunctive candidate intersection first (rarest term decodes
+    fully, the rest decode only candidate-bearing blocks — positions
+    ride along in the same block slices), then adjacency verification:
+    for phrase slot j holding term t, the doc's admissible START
+    positions are ``P_t − j``; the phrase matches where the
+    intersection over slots is non-empty.  Slots intersect as composite
+    ``doc * 2^21 + start`` int64 keys, rarest term first, so the
+    running set only shrinks.  Repeated terms ("table table") are one
+    decoded term with multiple slots.  Cost beyond the conjunctive
+    kernel is O(candidate positions) — never O(Σ positions).
+
+    Expects ``n_terms`` (distinct-term count) and ``slots`` (per-term
+    int list of 0-based phrase offsets) columns on every row.
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty  # some phrase term matches no document
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "phrase query requires an index built with BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+            "slots": [int(s) for s in rows["slots"].iloc[0]],
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+
+    # 1. conjunctive candidates, rarest term first (positions decoded
+    # in the same pass — the slices are block-aligned anyway)
+    by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
+    rare = by_df[0]
+    quads: dict[str, tuple] = {}
+    parts = [
+        _alive_quad(decode_masked_pos(seg, None), deleted)
+        for seg in per_term[rare]["runs"]
+    ]
+    stats.blocks_decoded += sum(
+        len(seg.block_last_doc_id) for seg in per_term[rare]["runs"]
+    )
+    parts = [p for p in parts if p[0].size]
+    e = np.empty(0, dtype=np.int64)
+    if not parts:
+        return empty
+    quads[rare] = (
+        parts[0]
+        if len(parts) == 1
+        else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+    )
+    cand = np.sort(quads[rare][0])
+    for t in by_df[1:]:
+        if cand.size == 0:
+            return empty
+        tparts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                tparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
+                stats.blocks_decoded += int(mask.sum())
+        tparts = [p for p in tparts if p[0].size]
+        if not tparts:
+            return empty
+        quad = (
+            tparts[0]
+            if len(tparts) == 1
+            else tuple(np.concatenate([p[i] for p in tparts]) for i in range(4))
+        )
+        quads[t] = quad
+        ids_sorted = np.sort(quad[0])
+        pidx = np.minimum(np.searchsorted(ids_sorted, cand), ids_sorted.size - 1)
+        cand = cand[ids_sorted[pidx] == cand]
+    if cand.size == 0:
+        return empty
+
+    # 2. adjacency verification over candidate docs only
+    for t in terms:
+        quads[t] = _restrict_quad(quads[t], cand)
+        if quads[t][3].size and int(quads[t][3].max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — phrase key overflow")
+    slot_list = [
+        (per_term[t]["df"], off, t) for t in terms for off in per_term[t]["slots"]
+    ]
+    slot_list.sort()  # rarest term's slots first — running set shrinks fastest
+    keys: np.ndarray | None = None
+    for _, off, t in slot_list:
+        ids, tfs, _dls, pos = quads[t]
+        doc_rep = np.repeat(ids, tfs)
+        valid = pos >= off
+        skeys = doc_rep[valid] * PHRASE_POS_STRIDE + (pos[valid] - off)
+        skeys.sort()
+        if keys is None:
+            keys = skeys
+        else:
+            if skeys.size == 0:
+                return empty
+            pidx = np.minimum(np.searchsorted(skeys, keys), skeys.size - 1)
+            keys = keys[skeys[pidx] == keys]
+        if keys.size == 0:
+            return empty
+    matched = np.unique(keys // PHRASE_POS_STRIDE)
+
+    # 3. BM25 over the phrase's distinct terms, matched docs only
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 class _RunIndex:
     """Block ranges + a sparse table for O(1) range-max over block ubs.
 
@@ -1119,6 +1305,55 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return conjunctive_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_phrase(self, queries: pd.DataFrame) -> DataFrame:
+        """Exact phrase top-k (requires a positional index —
+        ``BuildConfig(positions=True)``).
+
+        Same pruned-scan + broadcast-join plan as the other distributed
+        paths; the kernel (:func:`phrase_query_kernel`) intersects
+        conjunctive candidates, verifies token adjacency from the
+        positional stream, and BM25-scores the matching docs."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "phrase queries need an index built with BuildConfig(positions=True)"
+            )
+        rows = []
+        for r in queries.itertuples(index=False):
+            toks = tokenize_py(r.text)
+            if not toks:
+                continue
+            slots: dict[str, list[int]] = {}
+            for j, t in enumerate(toks):
+                slots.setdefault(t, []).append(j)
+            for t, offs in sorted(slots.items()):
+                rows.append((int(r.query_id), t, int(r.k), len(slots), offs))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slots"]),
+            schema="query_id bigint, term string, k int, n_terms int, slots array<int>",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return phrase_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
 

@@ -38,10 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from bilies_go_spark.operators.index_build import (
-    RUNS_SCHEMA,
     BuildConfig,
     IndexPaths,
     _doc_local_tf,
+    _doc_local_tf_pos,
     build_segments,
     encode_segments,
     finalize_stats,
@@ -75,7 +75,8 @@ def ingest_batch(
     clean, poison = split_poison(tagged)
     with StageTimer() as t:
         runs = clean.select("build_part", "doc_id", "text").mapInPandas(
-            _doc_local_tf, schema=RUNS_SCHEMA
+            _doc_local_tf_pos if cfg.positions else _doc_local_tf,
+            schema=cfg.runs_schema,
         )
         tableio.write_partitioned(runs, paths.runs, ["build_part"], dynamic_overwrite=True)
         # quarantine keyed on the deterministic stream part + dynamic
@@ -89,7 +90,7 @@ def ingest_batch(
             # schema-pinned read: keeps build_part a raw STRING (no hive
             # partition-type inference), so the part filter and lineage
             # keys always match the written directory names
-            spark.read.schema(RUNS_SCHEMA).parquet(paths.runs)
+            spark.read.schema(cfg.runs_schema).parquet(paths.runs)
             .filter(F.col("build_part") == part)
             .groupBy()
             .agg(
@@ -180,6 +181,7 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
             n_buckets=meta["n_buckets"],
             block_size=meta["block_size"],
             target_postings_per_salt=meta["target_postings_per_salt"],
+            positions=meta.get("positions", False),
         )
     paths = IndexPaths(index_dir)
     gc_stale_generations(paths)
@@ -241,6 +243,7 @@ def compact_tiered(
             n_buckets=meta["n_buckets"],
             block_size=meta["block_size"],
             target_postings_per_salt=meta["target_postings_per_salt"],
+            positions=meta.get("positions", False),
         )
     paths = IndexPaths(index_dir)
     lineage = Lineage(index_dir)
@@ -258,7 +261,7 @@ def compact_tiered(
     parts = sorted(set(pending) | {p for t in merge for p in t["parts"]})
     tier = hashlib.md5("\x00".join(parts).encode()).hexdigest()[:12]
     runs_delta = (
-        spark.read.schema(RUNS_SCHEMA)
+        spark.read.schema(cfg.runs_schema)
         .parquet(paths.runs)
         .filter(F.col("build_part").isin(parts))
         .drop("build_part")

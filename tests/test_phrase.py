@@ -1,0 +1,222 @@
+"""Positional postings + phrase queries: codec roundtrip, kernel vs a
+pure-Python brute phrase scorer, adjacency/repeated-term semantics, and
+the positional-index requirement.
+
+Phrase contract (driver_queries.bm25_phrase / query.phrase_query_kernel):
+a doc matches iff the query's token sequence occurs contiguously in the
+doc's token stream; matches are BM25-scored over the phrase's DISTINCT
+terms with the engine's pinned ascending-term fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bilies_go_spark import B_DEFAULT, K1_DEFAULT
+from bilies_go_spark.functions.tokenize import tokenize_py
+from bilies_go_spark.operators.codec import (
+    decode_masked,
+    decode_masked_pos,
+    encode_postings,
+    positions_to_blobs,
+    row_to_segment,
+    segment_to_row,
+)
+from bilies_go_spark.operators.index_build import BuildConfig, build_index
+from bilies_go_spark.operators.query import QueryEngine
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 1000
+    ids = np.sort(rng.choice(100_000, n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    dls = rng.integers(5, 500, n).astype(np.int64)
+    flat = [
+        np.sort(rng.choice(max(dl, tf), tf, replace=False))
+        for tf, dl in zip(tfs, dls)
+    ]
+    blobs = positions_to_blobs(np.concatenate(flat), tfs)
+    seg = encode_postings(ids, tfs, dls, block_size=64, pos_blobs=blobs)
+    d, t, ln, p = decode_masked_pos(seg, None)
+    assert (d == ids).all() and (t == tfs).all() and (ln == dls).all()
+    assert (p == np.concatenate(flat)).all()
+    # masked decode agrees with the non-positional twin and restores
+    # exactly the selected docs' positions
+    nb = len(seg.block_last_doc_id)
+    mask = np.zeros(nb, dtype=bool)
+    mask[::3] = True
+    mask[7:10] = True
+    d2, t2, ln2, p2 = decode_masked_pos(seg, mask)
+    d3, _, _ = decode_masked(seg, mask)
+    assert (d2 == d3).all()
+    sel = set(d2.tolist())
+    exp = np.concatenate([f for i, f in enumerate(flat) if ids[i] in sel])
+    assert (p2 == exp).all()
+    # parquet-row roundtrip keeps the positional stream
+    seg2 = row_to_segment(segment_to_row("x", 0, seg))
+    assert seg2.has_positions
+    _, _, _, p4 = decode_masked_pos(seg2, mask)
+    assert (p4 == p2).all()
+    # non-positional rows stay positional-free
+    row_np = segment_to_row("x", 0, encode_postings(ids, tfs, dls, block_size=64))
+    assert "positions_vb" not in row_np
+    assert not row_to_segment(row_np).has_positions
+
+
+def _brute_phrase_topk(
+    corpus: pd.DataFrame, queries: pd.DataFrame, k1=K1_DEFAULT, b=B_DEFAULT
+) -> pd.DataFrame:
+    """Reference phrase scorer: pure Python over (doc_id, text)."""
+    toks = {int(r.doc_id): tokenize_py(r.text) for r in corpus.itertuples(index=False)}
+    toks = {d: t for d, t in toks.items() if t}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for q in queries.itertuples(index=False):
+        phrase = tokenize_py(q.text)
+        if not phrase:
+            continue
+        terms = sorted(set(phrase))
+        scored = []
+        for d, t in toks.items():
+            if not any(
+                t[i : i + len(phrase)] == phrase for i in range(len(t) - len(phrase) + 1)
+            ):
+                continue
+            score = 0.0
+            for term in terms:  # ascending-term pinned fold
+                tf = t.count(term)
+                idf = np.log1p((n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                score += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(t) / avgdl))
+                )
+            scored.append((d, score))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[: int(q.k)], 1):
+            out.append((int(q.query_id), rank, d, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+@pytest.fixture(scope="module")
+def pos_index_dir(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pindex"))
+    cfg = BuildConfig(
+        n_buckets=8, block_size=32, target_postings_per_salt=200, positions=True
+    )
+    build_index(spark, small_corpus, d, cfg)
+    return d
+
+
+PHRASES = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4],
+        "text": ["the of", "of the and", "the the", "you that he", "zzz the"],
+        "k": [10, 10, 10, 10, 10],
+    }
+)
+
+
+def test_phrase_engine_matches_brute(spark, small_corpus, pos_index_dir):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_phrase_topk(corpus_pdf, PHRASES)
+    got = (
+        QueryEngine(spark, pos_index_dir)
+        .topk_phrase(PHRASES)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["query_id"].to_numpy() == exp["query_id"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    # the fixture corpus must actually exercise a non-trivial phrase
+    assert (exp.groupby("query_id").size() > 0).any()
+
+
+def test_phrase_adjacency_and_repeats(spark, tmp_path):
+    """Hand-built corpus pinning the semantics the brute test can't
+    isolate: conjunctive-but-not-adjacent docs are excluded; repeated
+    terms need a genuine repeat run; overlapping repeats count."""
+    rows = [
+        (0, "alpha beta gamma"),       # "alpha beta" matches
+        (1, "beta alpha gamma"),       # conjunctive yes, phrase no
+        (2, "alpha gamma beta alpha"), # both terms, never adjacent
+        (3, "gamma alpha beta"),       # matches at offset 1
+        (4, "alpha alpha alpha"),      # "alpha alpha" overlapping repeats
+        (5, "alpha beta alpha beta"),  # two occurrences
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), schema="doc_id bigint, text string"
+    )
+    d = str(tmp_path / "tiny_pos")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100,
+        positions=True, build_part_expr="'all'",
+    )
+    build_index(spark, corpus, d, cfg)
+    eng = QueryEngine(spark, d)
+    q = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["alpha beta", "alpha alpha"], "k": [10, 10]}
+    )
+    got = eng.topk_phrase(q).toPandas()
+    assert sorted(got[got.query_id == 0]["doc_id"]) == [0, 3, 5]
+    assert sorted(got[got.query_id == 1]["doc_id"]) == [4]
+
+
+def test_phrase_on_streamed_tiered_index(spark, tmp_path):
+    """Positional streams survive the streaming ingest + tiered
+    compaction path: a phrase query over base + delta tiers answers
+    identically to a batch-built positional index."""
+    from bilies_go_spark.streaming.ingest import compact_tiered, start_ingest
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "beta alpha gamma"),
+        (2, "gamma alpha beta"),
+        (3, "alpha alpha beta beta"),
+        (4, "delta alpha beta delta"),
+        (5, "beta gamma alpha"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf, schema="doc_id bigint, text string").repartition(
+        3
+    ).write.parquet(src)
+    idx = str(tmp_path / "stream_pos")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100, positions=True
+    )
+    q = start_ingest(
+        spark, src, idx, cfg, max_files_per_trigger=1,
+        schema="doc_id bigint, text string",
+    )
+    q.awaitTermination()
+    compact_tiered(spark, idx, cfg)
+    eng = QueryEngine(spark, idx)
+    assert eng.meta["positions"] is True
+    queries = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["alpha beta", "gamma alpha"], "k": [10, 10]}
+    )
+    got = eng.topk_phrase(queries).toPandas()
+    assert sorted(got[got.query_id == 0]["doc_id"]) == [0, 2, 3, 4]
+    assert sorted(got[got.query_id == 1]["doc_id"]) == [2, 5]
+
+
+def test_phrase_requires_positional_index(spark, small_corpus, tmp_path):
+    d = str(tmp_path / "plain")
+    build_index(
+        spark, small_corpus, d, BuildConfig(n_buckets=4, target_postings_per_salt=200)
+    )
+    with pytest.raises(ValueError, match="positions=True"):
+        QueryEngine(spark, d).topk_phrase(PHRASES)
