@@ -438,6 +438,206 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- proximity queries (positional index) ------------------------------------
+# Docs match when ALL query terms occur within a token window of span
+# <= slop (unordered, minimal covering window); scored like phrase.
+# The oracle self-joins per-term position sets and tests
+# greatest(...) - least(...) <= slop — exact for the same semantics.
+
+PROXIMITY_QUERIES: list[tuple[int, str, int, int]] = [
+    # (query_id, text, slop, k)
+    (0, "hash join", 1, 10),           # unordered adjacency
+    (1, "hash join", 3, 10),           # widened window
+    (2, "table query", 2, 10),
+    (3, "spark window group", 4, 10),  # trigram window
+    (4, "dup value", 5, 10),           # rare + hot
+    (5, "scan merge batch", 6, 10),
+    (6, "zzzmissing table", 2, 10),    # absent term -> empty
+]
+
+
+def proximity_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in PROXIMITY_QUERIES],
+            "text": [q[1] for q in PROXIMITY_QUERIES],
+            "slop": [q[2] for q in PROXIMITY_QUERIES],
+            "k": [q[3] for q in PROXIMITY_QUERIES],
+        }
+    )
+
+
+def bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity top-k on the positional index — must match the
+    pure-SQL window-span oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_proximity(proximity_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            proximity_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_proximity_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qtrows = []
+    match_selects = []
+    for qid, text, slop, k in PROXIMITY_QUERIES:
+        terms = sorted(set(tokenize_py(text)))
+        for t in terms:
+            qtrows.append(f"({qid}, '{t}', {k})")
+        joins = " JOIN ".join(
+            f"posn p{i} USING (doc_id)" if i else "posn p0" for i in range(len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        plist = ", ".join(f"p{i}.pos" for i in range(len(terms)))
+        span = (
+            f"greatest({plist}) - least({plist})" if len(terms) > 1 else "0"
+        )
+        match_selects.append(
+            f"SELECT DISTINCT {qid} AS query_id, p0.doc_id, {k} AS k "
+            f"FROM {joins} WHERE {conds} AND {span} <= {slop}"
+        )
+    qt_values = ", ".join(qtrows)
+    matches = "\n  UNION ALL\n  ".join(match_selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+posn AS (
+  SELECT doc_id, d.tk[g.i] AS term, g.i - 1 AS pos
+  FROM (SELECT doc_id, {duck_tokens()} AS tk FROM documents) d,
+       unnest(generate_series(1, len(d.tk))) AS g(i)
+),
+qt(query_id, term, k) AS (VALUES {qt_values}),
+m AS (
+  {matches}
+),
+sc AS (
+  SELECT m.query_id, m.doc_id, max(m.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN post p ON p.term = qt.term AND p.doc_id = m.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
+# --- prefix (wildcard) queries ------------------------------------------------
+# Trailing-* pieces expand against the term dictionary (pushed-down
+# range scan); the query scores as the OR of the expanded terms (the
+# exact-scoring MultiTermQuery rewrite).  No positions needed.
+
+PREFIX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "ta*", 10),        # single expansion
+    (1, "s*", 10),         # wide expansion (scan/sort/spark/stream/...)
+    (2, "qu* table", 10),  # prefix + literal
+    (3, "zz*", 10),        # empty expansion
+    (4, "gr* wi*", 10),    # two prefixes
+    (5, "dup", 10),        # literal only
+]
+
+
+def prefix_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in PREFIX_QUERIES],
+            "text": [q[1] for q in PREFIX_QUERIES],
+            "k": [q[2] for q in PREFIX_QUERIES],
+        }
+    )
+
+
+def bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-expanded top-k — must match the LIKE-expansion oracle
+    rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_prefix(prefix_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            prefix_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_prefix_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in PREFIX_QUERIES:
+        for piece in text.split():
+            isp = piece.endswith("*")
+            toks = tokenize_py(piece[:-1] if isp else piece)
+            assert len(toks) == 1
+            patt = toks[0] + ("%" if isp else "")
+            qrows.append(f"({qid}, '{patt}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, patt, k) AS (VALUES {values}),
+qe AS (
+  SELECT DISTINCT q.query_id, ts.term, q.k
+  FROM q JOIN ts ON ts.term LIKE q.patt
+),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -805,6 +1005,12 @@ def registry() -> dict[str, tuple]:
         # phrase match on the positional index; oracle = token-string
         # substring containment (exact in token space)
         "bm25_topk_phrase": (bm25_phrase, bm25_phrase_oracle_sql()),
+        # unordered within-slop proximity on the positional index;
+        # oracle = per-term position self-joins with span <= slop
+        "bm25_topk_proximity": (bm25_proximity, bm25_proximity_oracle_sql()),
+        # trailing-* prefix expansion against the term dictionary;
+        # oracle = LIKE-expansion over the same stats CTEs
+        "bm25_topk_prefix": (bm25_prefix, bm25_prefix_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

@@ -532,6 +532,67 @@ def _restrict_quad(quad, cand: np.ndarray):
     return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
 
 
+def _positional_candidates(per_term, terms, stats, deleted):
+    """Conjunctive candidate intersection with positions riding along.
+
+    Decodes the rarest term fully, every other term only for
+    candidate-bearing blocks (positions live in the same block-aligned
+    slices), intersects doc ids rarest-first, then restricts every
+    term's decoded quad to the surviving candidates.  Returns
+    (sorted candidate doc ids, {term: (ids, tfs, dls, pos)}).
+    Shared by the phrase and proximity kernels."""
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    e = np.empty(0, dtype=np.int64)
+    by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
+    rare = by_df[0]
+    quads: dict[str, tuple] = {}
+    parts = [
+        _alive_quad(decode_masked_pos(seg, None), deleted)
+        for seg in per_term[rare]["runs"]
+    ]
+    stats.blocks_decoded += sum(
+        len(seg.block_last_doc_id) for seg in per_term[rare]["runs"]
+    )
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return e, quads
+    quads[rare] = (
+        parts[0]
+        if len(parts) == 1
+        else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+    )
+    cand = np.sort(quads[rare][0])
+    for t in by_df[1:]:
+        if cand.size == 0:
+            return e, quads
+        tparts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                tparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
+                stats.blocks_decoded += int(mask.sum())
+        tparts = [p for p in tparts if p[0].size]
+        if not tparts:
+            return e, quads
+        quad = (
+            tparts[0]
+            if len(tparts) == 1
+            else tuple(np.concatenate([p[i] for p in tparts]) for i in range(4))
+        )
+        quads[t] = quad
+        ids_sorted = np.sort(quad[0])
+        pidx = np.minimum(np.searchsorted(ids_sorted, cand), ids_sorted.size - 1)
+        cand = cand[ids_sorted[pidx] == cand]
+    if cand.size == 0:
+        return e, quads
+    for t in terms:
+        quads[t] = _restrict_quad(quads[t], cand)
+        if quads[t][3].size and int(quads[t][3].max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+    return cand, quads
+
+
 def phrase_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -566,8 +627,6 @@ def phrase_query_kernel(
     ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
     if pdf.empty or avgdl <= 0:
         return empty
-    from bilies_go_spark.operators.codec import decode_masked_pos
-
     qid = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
     n_expected = int(pdf["n_terms"].iloc[0])
@@ -593,57 +652,11 @@ def phrase_query_kernel(
         }
         stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
 
-    # 1. conjunctive candidates, rarest term first (positions decoded
-    # in the same pass — the slices are block-aligned anyway)
-    by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
-    rare = by_df[0]
-    quads: dict[str, tuple] = {}
-    parts = [
-        _alive_quad(decode_masked_pos(seg, None), deleted)
-        for seg in per_term[rare]["runs"]
-    ]
-    stats.blocks_decoded += sum(
-        len(seg.block_last_doc_id) for seg in per_term[rare]["runs"]
-    )
-    parts = [p for p in parts if p[0].size]
-    e = np.empty(0, dtype=np.int64)
-    if not parts:
-        return empty
-    quads[rare] = (
-        parts[0]
-        if len(parts) == 1
-        else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
-    )
-    cand = np.sort(quads[rare][0])
-    for t in by_df[1:]:
-        if cand.size == 0:
-            return empty
-        tparts = []
-        for seg in per_term[t]["runs"]:
-            mask = _seg_blocks_with_candidates(seg, cand)
-            if mask.any():
-                tparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
-                stats.blocks_decoded += int(mask.sum())
-        tparts = [p for p in tparts if p[0].size]
-        if not tparts:
-            return empty
-        quad = (
-            tparts[0]
-            if len(tparts) == 1
-            else tuple(np.concatenate([p[i] for p in tparts]) for i in range(4))
-        )
-        quads[t] = quad
-        ids_sorted = np.sort(quad[0])
-        pidx = np.minimum(np.searchsorted(ids_sorted, cand), ids_sorted.size - 1)
-        cand = cand[ids_sorted[pidx] == cand]
+    cand, quads = _positional_candidates(per_term, terms, stats, deleted)
     if cand.size == 0:
         return empty
 
     # 2. adjacency verification over candidate docs only
-    for t in terms:
-        quads[t] = _restrict_quad(quads[t], cand)
-        if quads[t][3].size and int(quads[t][3].max()) >= PHRASE_POS_STRIDE:
-            raise ValueError("document longer than 2^21 tokens — phrase key overflow")
     slot_list = [
         (per_term[t]["df"], off, t) for t in terms for off in per_term[t]["slots"]
     ]
@@ -667,6 +680,108 @@ def phrase_query_kernel(
     matched = np.unique(keys // PHRASE_POS_STRIDE)
 
     # 3. BM25 over the phrase's distinct terms, matched docs only
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def proximity_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Unordered proximity top-k over a POSITIONAL index: docs where
+    ALL query terms occur within a token window of span <= ``slop``
+    (minimal covering window, any term order), BM25-scored over the
+    distinct terms.
+
+    Verification is the vectorized minimal-covering-window sweep: with
+    per-term sorted (doc·2^21 + pos) key arrays, every term occurrence
+    is an anchor; for anchor key a, each term's latest occurrence <= a
+    in the same doc (one searchsorted per term) gives the minimal
+    window ending at a — the doc matches iff some anchor's window span
+    is <= slop.  Exact because the right edge of a minimal covering
+    window is itself a term occurrence.  Cost is
+    O(candidate positions · n_terms · log) — candidates only, never
+    the full posting lists.
+
+    Expects ``n_terms`` and ``slop`` columns on every row.
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "proximity query requires an index built with BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+
+    cand, quads = _positional_candidates(per_term, terms, stats, deleted)
+    if cand.size == 0:
+        return empty
+
+    # minimal-covering-window sweep over candidate docs
+    keys_by_term = {}
+    for t in terms:
+        ids, tfs, _dls, pos = quads[t]
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    anchors = np.concatenate(list(keys_by_term.values()))
+    anchors.sort()
+    a_doc = anchors // PHRASE_POS_STRIDE
+    ok = np.ones(anchors.size, dtype=bool)
+    win_start = anchors % PHRASE_POS_STRIDE  # anchor's own term trivially <= a
+    for t in terms:
+        kt = keys_by_term[t]
+        idx = np.searchsorted(kt, anchors, side="right") - 1
+        valid = idx >= 0
+        pred = kt[np.maximum(idx, 0)]
+        same = valid & (pred // PHRASE_POS_STRIDE == a_doc)
+        ok &= same
+        win_start = np.minimum(win_start, np.where(same, pred % PHRASE_POS_STRIDE, 0))
+    span = (anchors % PHRASE_POS_STRIDE) - win_start
+    hit = ok & (span <= slop)
+    if not hit.any():
+        return empty
+    matched = np.unique(a_doc[hit])
+
     decoded = {t: quads[t][:3] for t in terms}
     doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
     if doc.size == 0:
@@ -1355,6 +1470,134 @@ class QueryEngine:
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return phrase_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_proximity(self, queries: pd.DataFrame) -> DataFrame:
+        """Unordered proximity top-k (positional index): docs where all
+        query terms occur within a token window of span <= ``slop``
+        (per-query column).  Same plan as :meth:`topk_phrase`; the
+        kernel sweeps minimal covering windows over the candidate
+        positions (:func:`proximity_query_kernel`)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "proximity queries need an index built with BuildConfig(positions=True)"
+            )
+        rows = []
+        for r in queries.itertuples(index=False):
+            qts = sorted(set(tokenize_py(r.text)))
+            for t in qts:
+                rows.append((int(r.query_id), t, int(r.k), len(qts), int(r.slop)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"]),
+            schema="query_id bigint, term string, k int, n_terms int, slop int",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return proximity_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    # -- prefix (wildcard) expansion -------------------------------------------
+
+    @staticmethod
+    def _parse_prefix_query(text: str) -> list[tuple[str, bool]]:
+        """Whitespace-split a prefix query into (token, is_prefix)
+        pairs: a trailing ``*`` marks a prefix pattern; everything else
+        normalizes through the standard analyzer.  Pieces that
+        normalize to != 1 token are rejected (the analyzer would never
+        produce them as single terms)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        out = []
+        for piece in text.split():
+            is_prefix = piece.endswith("*")
+            toks = tokenize_py(piece[:-1] if is_prefix else piece)
+            if len(toks) != 1:
+                raise ValueError(f"prefix-query piece {piece!r} is not a single term")
+            out.append((toks[0], is_prefix))
+        return out
+
+    def expand_prefixes(self, prefixes: list[str]) -> dict[str, list[str]]:
+        """Vocabulary terms matching each prefix, from the term-stats
+        dictionary via a pushed-down range scan (``term >= p AND
+        term < p+1``, the classic dictionary-range trick — parquet
+        row-group stats prune, no full vocabulary read)."""
+        import pyarrow.dataset as pads
+
+        _, ts_dss = self._datasets()
+        out: dict[str, set[str]] = {p: set() for p in prefixes}
+        for p in sorted(set(prefixes)):
+            upper = p[:-1] + chr(ord(p[-1]) + 1)
+            filt = (pads.field("term") >= p) & (pads.field("term") < upper)
+            for ds in ts_dss:
+                t = ds.to_table(filter=filt, columns=["term"])
+                out[p].update(t["term"].to_pylist())
+        return {p: sorted(v) for p, v in out.items()}
+
+    def topk_prefix(self, queries: pd.DataFrame) -> DataFrame:
+        """Disjunctive top-k with Lucene-style trailing-``*`` prefix
+        terms: each prefix expands against the term dictionary and the
+        query scores as the OR of all expanded terms (plain BM25 sum —
+        the exact-scoring MultiTermQuery rewrite).  Works on any index
+        (no positions needed)."""
+        parsed = {
+            int(r.query_id): self._parse_prefix_query(r.text)
+            for r in queries.itertuples(index=False)
+        }
+        prefixes = sorted(
+            {tok for ps in parsed.values() for tok, isp in ps if isp}
+        )
+        expansion = self.expand_prefixes(prefixes) if prefixes else {}
+        rows = []
+        for r in queries.itertuples(index=False):
+            terms: set[str] = set()
+            for tok, isp in parsed[int(r.query_id)]:
+                terms.update(expansion.get(tok, []) if isp else [tok])
+            for t in sorted(terms):
+                rows.append((int(r.query_id), t, int(r.k)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k"])
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int"
+        )
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return score_query_kernel(
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)

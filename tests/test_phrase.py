@@ -66,10 +66,17 @@ def test_positions_codec_roundtrip():
     assert not row_to_segment(row_np).has_positions
 
 
-def _brute_phrase_topk(
-    corpus: pd.DataFrame, queries: pd.DataFrame, k1=K1_DEFAULT, b=B_DEFAULT
+def _brute_filtered_topk(
+    corpus: pd.DataFrame,
+    queries: pd.DataFrame,
+    match_fn,
+    terms_fn=None,
+    k1=K1_DEFAULT,
+    b=B_DEFAULT,
 ) -> pd.DataFrame:
-    """Reference phrase scorer: pure Python over (doc_id, text)."""
+    """Reference scorer: docs passing ``match_fn(query_row, doc_tokens)``
+    BM25-scored over ``terms_fn(query_row)`` (default: the query text's
+    distinct tokens), pure Python over (doc_id, text)."""
     toks = {int(r.doc_id): tokenize_py(r.text) for r in corpus.itertuples(index=False)}
     toks = {d: t for d, t in toks.items() if t}
     n_docs = len(toks)
@@ -80,28 +87,58 @@ def _brute_phrase_topk(
             df[term] = df.get(term, 0) + 1
     out = []
     for q in queries.itertuples(index=False):
-        phrase = tokenize_py(q.text)
-        if not phrase:
-            continue
-        terms = sorted(set(phrase))
+        terms = sorted(
+            set(terms_fn(q)) if terms_fn else set(tokenize_py(q.text))
+        )
         scored = []
         for d, t in toks.items():
-            if not any(
-                t[i : i + len(phrase)] == phrase for i in range(len(t) - len(phrase) + 1)
-            ):
+            if not match_fn(q, t):
                 continue
             score = 0.0
             for term in terms:  # ascending-term pinned fold
                 tf = t.count(term)
+                if tf == 0 or term not in df:
+                    continue
                 idf = np.log1p((n_docs - df[term] + 0.5) / (df[term] + 0.5))
                 score += idf * (tf * (k1 + 1.0)) / (
                     tf + k1 * (1.0 - b + b * (len(t) / avgdl))
                 )
-            scored.append((d, score))
+            if score > 0.0:
+                scored.append((d, score))
         scored.sort(key=lambda x: (-x[1], x[0]))
         for rank, (d, s) in enumerate(scored[: int(q.k)], 1):
             out.append((int(q.query_id), rank, d, s))
     return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _brute_phrase_topk(corpus, queries, k1=K1_DEFAULT, b=B_DEFAULT):
+    def match(q, t):
+        phrase = tokenize_py(q.text)
+        if not phrase:
+            return False
+        return any(
+            t[i : i + len(phrase)] == phrase
+            for i in range(len(t) - len(phrase) + 1)
+        )
+
+    return _brute_filtered_topk(corpus, queries, match, k1=k1, b=b)
+
+
+def _brute_proximity_topk(corpus, queries, k1=K1_DEFAULT, b=B_DEFAULT):
+    """Window semantics: some window of slop+1 consecutive tokens
+    contains every distinct query term (== minimal covering span <=
+    slop)."""
+
+    def match(q, t):
+        terms = set(tokenize_py(q.text))
+        if not terms:
+            return False
+        w = int(q.slop) + 1
+        return any(
+            terms <= set(t[i : i + w]) for i in range(max(len(t) - w + 1, 1))
+        )
+
+    return _brute_filtered_topk(corpus, queries, match, k1=k1, b=b)
 
 
 @pytest.fixture(scope="module")
@@ -172,6 +209,126 @@ def test_phrase_adjacency_and_repeats(spark, tmp_path):
     got = eng.topk_phrase(q).toPandas()
     assert sorted(got[got.query_id == 0]["doc_id"]) == [0, 3, 5]
     assert sorted(got[got.query_id == 1]["doc_id"]) == [4]
+
+
+PROX = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3],
+        "text": ["the of", "you that he", "the of and", "zzz the"],
+        "slop": [1, 4, 2, 3],
+        "k": [10, 10, 10, 10],
+    }
+)
+
+
+def _assert_same_topk(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["query_id"].to_numpy() == exp["query_id"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+
+
+def test_proximity_engine_matches_brute(spark, small_corpus, pos_index_dir):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_proximity_topk(corpus_pdf, PROX)
+    got = QueryEngine(spark, pos_index_dir).topk_proximity(PROX).toPandas()
+    _assert_same_topk(got, exp)
+    assert len(exp), "fixture must exercise at least one proximity match"
+
+
+def test_proximity_semantics(spark, tmp_path):
+    """Unordered + window-bound pinned on a hand-built corpus."""
+    rows = [
+        (0, "alpha x beta"),        # span 2
+        (1, "beta alpha"),          # span 1, reversed order
+        (2, "alpha x x x beta"),    # span 4
+        (3, "alpha"),               # missing term
+        (4, "beta y y alpha"),      # span 3, reversed
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), schema="doc_id bigint, text string"
+    )
+    d = str(tmp_path / "tiny_prox")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100,
+        positions=True, build_part_expr="'all'",
+    )
+    build_index(spark, corpus, d, cfg)
+    eng = QueryEngine(spark, d)
+
+    def run(slop):
+        q = pd.DataFrame(
+            {"query_id": [0], "text": ["alpha beta"], "slop": [slop], "k": [10]}
+        )
+        return sorted(eng.topk_proximity(q).toPandas()["doc_id"])
+
+    assert run(1) == [1]            # only adjacent (either order)
+    assert run(2) == [0, 1]
+    assert run(3) == [0, 1, 4]
+    assert run(4) == [0, 1, 2, 4]
+
+
+def test_prefix_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir):
+    """topk_prefix == brute disjunctive BM25 over the dictionary
+    expansion computed independently from the corpus."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    vocab = sorted({t for txt in corpus_pdf["text"] for t in tokenize_py(txt)})
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["th*", "wa* the", "zzqq*"],
+            "k": [10, 10, 10],
+        }
+    )
+
+    def expand(q):
+        terms = []
+        for piece in q.text.split():
+            if piece.endswith("*"):
+                terms += [v for v in vocab if v.startswith(piece[:-1])]
+            else:
+                terms.append(piece)
+        return terms
+
+    exp = _brute_filtered_topk(
+        corpus_pdf,
+        queries,
+        match_fn=lambda q, t: bool(set(expand(q)) & set(t)),
+        terms_fn=expand,
+    )
+    got = QueryEngine(spark, pos_index_dir).topk_prefix(queries).toPandas()
+    _assert_same_topk(got, exp)
+    # the wide prefix must genuinely expand to >1 term
+    assert len({v for v in vocab if v.startswith("th")}) > 1
+
+
+def test_phrase_respects_tombstones(spark, tmp_path):
+    from bilies_go_spark.operators.deletes import delete_docs
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "beta alpha"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), schema="doc_id bigint, text string"
+    )
+    d = str(tmp_path / "tiny_del")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100,
+        positions=True, build_part_expr="'all'",
+    )
+    build_index(spark, corpus, d, cfg)
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha beta"], "k": [10]})
+    before = sorted(QueryEngine(spark, d).topk_phrase(q).toPandas()["doc_id"])
+    assert before == [0, 1]
+    delete_docs(spark, d, [0])
+    after = sorted(QueryEngine(spark, d).topk_phrase(q).toPandas()["doc_id"])
+    assert after == [1]
 
 
 def test_phrase_on_streamed_tiered_index(spark, tmp_path):
