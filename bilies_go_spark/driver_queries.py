@@ -638,6 +638,79 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- faceted search counts ----------------------------------------------------
+# The search-engine facet panel: for each (conjunctive) query, matching
+# doc counts per facet value — the index supplies the match SET
+# (QueryEngine.match_ids, no ranking), the relational side aggregates.
+
+FACET_QUERIES: list[tuple[int, str]] = [
+    (0, "table"),
+    (1, "hash join"),
+    (2, "scan merge batch"),
+    (3, "dup"),
+    (4, "spark window group"),
+]
+FACET_COL = "source"
+
+
+def facet_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in FACET_QUERIES],
+            "text": [q[1] for q in FACET_QUERIES],
+        }
+    )
+
+
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over conjunctive match sets: match_ids from the
+    posting index joined to the documents table, grouped by facet
+    value.  The join shuffles on doc_id like any fact join — the shape
+    that scales (neither the match set nor the docs table is
+    collected)."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    matches = eng.match_ids(facet_queries_pdf())
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", FACET_COL
+    )
+    return (
+        matches.join(docs, "doc_id")
+        .groupBy("query_id", FACET_COL)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def search_facets_oracle_sql() -> str:
+    qrows = []
+    for qid, text in FACET_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, p.doc_id
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN qn ON qn.query_id = q.query_id
+  GROUP BY 1, 2
+  HAVING count(*) = max(qn.n_terms)
+)
+SELECT m.query_id, d.{FACET_COL} AS {FACET_COL}, count(*) AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -1011,6 +1084,9 @@ def registry() -> dict[str, tuple]:
         # trailing-* prefix expansion against the term dictionary;
         # oracle = LIKE-expansion over the same stats CTEs
         "bm25_topk_prefix": (bm25_prefix, bm25_prefix_oracle_sql()),
+        # facet counts over conjunctive match sets (index match_ids
+        # joined to the documents table, grouped by facet value)
+        "search_facets": (search_facets, search_facets_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

@@ -797,6 +797,65 @@ def proximity_query_kernel(
     )
 
 
+MATCH_SCHEMA = "query_id bigint, doc_id bigint"
+
+
+def conjunctive_match_kernel(
+    pdf: pd.DataFrame,
+    stats: KernelStats | None = None,
+    deleted: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """ALL docs containing EVERY query term (no scoring, no top-k) —
+    the match-set surface faceting/analytics consume.  Same
+    rarest-term candidate-driven intersection as
+    :func:`conjunctive_query_kernel`: cost O(df_min +
+    n_blocks_other log df_min), never O(Σ df)."""
+    empty = pd.DataFrame({"query_id": [], "doc_id": []}).astype(
+        {"query_id": "int64", "doc_id": "int64"}
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        per_term[term] = {
+            "df": int(rows["df"].iloc[0]),
+            "runs": [row_to_segment(r) for _, r in rows.iterrows()],
+        }
+    by_df = sorted(terms, key=lambda t: (per_term[t]["df"], t))
+    rare = by_df[0]
+    ids, _, _ = _decode_term_runs(per_term[rare]["runs"], None, deleted=deleted)
+    cand = np.sort(ids)
+    for t in by_df[1:]:
+        if cand.size == 0:
+            return empty
+        parts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                parts.append(_alive_triple(decode_masked(seg, mask), deleted))
+        ids_t = (
+            np.sort(np.concatenate([p[0] for p in parts if p[0].size]))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        if ids_t.size == 0:
+            return empty
+        pidx = np.minimum(np.searchsorted(ids_t, cand), ids_t.size - 1)
+        cand = cand[ids_t[pidx] == cand]
+    if cand.size == 0:
+        return empty
+    return pd.DataFrame(
+        {"query_id": np.full(cand.size, qid, dtype=np.int64), "doc_id": cand}
+    )
+
+
 class _RunIndex:
     """Block ranges + a sparse table for O(1) range-max over block ubs.
 
@@ -1425,20 +1484,9 @@ class QueryEngine:
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
-    def topk_phrase(self, queries: pd.DataFrame) -> DataFrame:
-        """Exact phrase top-k (requires a positional index —
-        ``BuildConfig(positions=True)``).
-
-        Same pruned-scan + broadcast-join plan as the other distributed
-        paths; the kernel (:func:`phrase_query_kernel`) intersects
-        conjunctive candidates, verifies token adjacency from the
-        positional stream, and BM25-scores the matching docs."""
+    def _phrase_qt_rows(self, queries: pd.DataFrame) -> pd.DataFrame:
         from bilies_go_spark.functions.tokenize import tokenize_py
 
-        if not self.meta.get("positions", False):
-            raise ValueError(
-                "phrase queries need an index built with BuildConfig(positions=True)"
-            )
         rows = []
         for r in queries.itertuples(index=False):
             toks = tokenize_py(r.text)
@@ -1449,10 +1497,76 @@ class QueryEngine:
                 slots.setdefault(t, []).append(j)
             for t, offs in sorted(slots.items()):
                 rows.append((int(r.query_id), t, int(r.k), len(slots), offs))
-        if not rows:
+        return pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slots"])
+
+    def _kernel_local(self, qt_pdf: pd.DataFrame, kernel_fn) -> pd.DataFrame:
+        """Driver-local serving path for the pandas kernels: fetch
+        the query terms' segment rows through the LRU term cache
+        (:meth:`_seg_rows`, no Spark job) and run the pandas kernel per
+        query — the millisecond point-query surface for phrase /
+        proximity, mirroring :meth:`topk_pandas`."""
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        if qt_pdf.empty:
+            return empty
+        seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+        if seg_pdf.empty:
+            return empty
+        outs = []
+        for qid, qrows in qt_pdf.groupby("query_id", sort=True):
+            pdf = seg_pdf[seg_pdf["term"].isin(qrows["term"])]
+            if pdf.empty:
+                continue
+            extra = qrows.drop(columns=["term"]).iloc[0:1]
+            per_term = qrows.set_index("term")
+            pdf = pdf.assign(
+                query_id=int(qid),
+                **{
+                    c: (
+                        pdf["term"].map(per_term[c]).to_numpy()
+                        if c in ("slots",)
+                        else extra[c].iloc[0]
+                    )
+                    for c in qrows.columns
+                    if c not in ("query_id", "term")
+                },
+            )
+            outs.append(
+                kernel_fn(
+                    pdf,
+                    self.k1,
+                    self.b,
+                    self.n_docs,
+                    self.avgdl,
+                    tie_margin=self.tie_margin,
+                    deleted=self.deleted,
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def topk_phrase(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+        """Exact phrase top-k (requires a positional index —
+        ``BuildConfig(positions=True)``).
+
+        ``mode='distributed'``: pruned-scan + broadcast-join plan, one
+        kernel task per query.  ``mode='local'``: the driver-side
+        serving path (pyarrow fetch + LRU term cache, no Spark job).
+        Both run :func:`phrase_query_kernel` — identical results."""
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "phrase queries need an index built with BuildConfig(positions=True)"
+            )
+        qt_pdf = self._phrase_qt_rows(queries)
+        if qt_pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if mode == "local":
+            out = self._kernel_local(qt_pdf, phrase_query_kernel)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
         qt = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slots"]),
+            qt_pdf,
             schema="query_id bigint, term string, k int, n_terms int, slots array<int>",
         )
         terms, buckets = self._terms_and_buckets(queries)
@@ -1474,11 +1588,13 @@ class QueryEngine:
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
-    def topk_proximity(self, queries: pd.DataFrame) -> DataFrame:
+    def topk_proximity(
+        self, queries: pd.DataFrame, mode: str = "distributed"
+    ) -> DataFrame:
         """Unordered proximity top-k (positional index): docs where all
         query terms occur within a token window of span <= ``slop``
-        (per-query column).  Same plan as :meth:`topk_phrase`; the
-        kernel sweeps minimal covering windows over the candidate
+        (per-query column).  Same plan/modes as :meth:`topk_phrase`;
+        the kernel sweeps minimal covering windows over the candidate
         positions (:func:`proximity_query_kernel`)."""
         from bilies_go_spark.functions.tokenize import tokenize_py
 
@@ -1493,8 +1609,14 @@ class QueryEngine:
                 rows.append((int(r.query_id), t, int(r.k), len(qts), int(r.slop)))
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
+        if mode == "local":
+            out = self._kernel_local(qt_pdf, proximity_query_kernel)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
         qt = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"]),
+            qt_pdf,
             schema="query_id bigint, term string, k int, n_terms int, slop int",
         )
         terms, buckets = self._terms_and_buckets(queries)
@@ -1515,6 +1637,43 @@ class QueryEngine:
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def match_ids(self, queries: pd.DataFrame) -> DataFrame:
+        """(query_id, doc_id) for EVERY doc containing all of a query's
+        terms (AND semantics, no ranking) — the match-set surface that
+        faceting, analytics joins, and export pipelines consume.
+
+        Same pruned-scan + broadcast-join plan as the ranked paths; the
+        kernel intersects without scoring, so the output is the full
+        match set, distributed (one task per query) and join-ready —
+        downstream facet joins shuffle on doc_id like any fact join."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        rows = []
+        for r in queries.itertuples(index=False):
+            qts = sorted(set(tokenize_py(r.text)))
+            for t in qts:
+                rows.append((int(r.query_id), t, len(qts)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=MATCH_SCHEMA)
+        qt = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["query_id", "term", "n_terms"]),
+            schema="query_id bigint, term string, n_terms int",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return conjunctive_match_kernel(pdf, deleted=deleted)
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=MATCH_SCHEMA)
 
     # -- prefix (wildcard) expansion -------------------------------------------
 
@@ -1553,12 +1712,13 @@ class QueryEngine:
                 out[p].update(t["term"].to_pylist())
         return {p: sorted(v) for p, v in out.items()}
 
-    def topk_prefix(self, queries: pd.DataFrame) -> DataFrame:
+    def topk_prefix(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
         """Disjunctive top-k with Lucene-style trailing-``*`` prefix
         terms: each prefix expands against the term dictionary and the
         query scores as the OR of all expanded terms (plain BM25 sum —
         the exact-scoring MultiTermQuery rewrite).  Works on any index
-        (no positions needed)."""
+        (no positions needed).  ``mode='local'`` serves driver-side
+        through the term cache (no Spark job)."""
         parsed = {
             int(r.query_id): self._parse_prefix_query(r.text)
             for r in queries.itertuples(index=False)
@@ -1577,6 +1737,11 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k"])
+        if mode == "local":
+            out = self._kernel_local(qt_pdf, score_query_kernel)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
         qt = self.spark.createDataFrame(
             qt_pdf, schema="query_id bigint, term string, k int"
         )

@@ -319,3 +319,27 @@ def test_poison_probe_agrees_with_tokenizer_on_unicode(spark):
         df.filter(F.size(tokenize_col("text")) == 0).toPandas()["doc_id"]
     )
     assert probe_poison == tok_empty
+
+
+def test_match_ids_equals_brute_and(spark, small_corpus, index_dir):
+    """QueryEngine.match_ids returns EXACTLY the docs containing every
+    query term (AND semantics, full match set, no ranking)."""
+    import pandas as pd
+
+    from bilies_go_spark.functions.tokenize import tokenize_py
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "text": ["the of", "you that he", "zzzmissing the"]}
+    )
+    got = QueryEngine(spark, index_dir).match_ids(queries).toPandas()
+    corpus = small_corpus.select("doc_id", "text").toPandas()
+    for q in queries.itertuples(index=False):
+        terms = set(tokenize_py(q.text))
+        exp = sorted(
+            int(r.doc_id)
+            for r in corpus.itertuples(index=False)
+            if terms <= set(tokenize_py(r.text))
+        )
+        assert sorted(got[got.query_id == q.query_id]["doc_id"]) == exp
+    assert len(got), "fixture must produce at least one match"

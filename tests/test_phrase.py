@@ -306,6 +306,27 @@ def test_prefix_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir
     assert len({v for v in vocab if v.startswith("th")}) > 1
 
 
+def test_local_mode_equals_distributed(spark, pos_index_dir):
+    """The driver-local serving path (term-cache + pandas kernels, no
+    Spark job) answers identically to the distributed plan for phrase,
+    proximity, and prefix."""
+    eng = QueryEngine(spark, pos_index_dir)
+    prefix_q = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["th*", "wa* the"], "k": [10, 10]}
+    )
+    for name, run in [
+        ("phrase", lambda m: eng.topk_phrase(PHRASES, mode=m)),
+        ("proximity", lambda m: eng.topk_proximity(PROX, mode=m)),
+        ("prefix", lambda m: eng.topk_prefix(prefix_q, mode=m)),
+    ]:
+        dist = run("distributed").toPandas().sort_values(["query_id", "rank"])
+        loc = run("local").toPandas().sort_values(["query_id", "rank"])
+        pd.testing.assert_frame_equal(
+            loc.reset_index(drop=True), dist.reset_index(drop=True), obj=name
+        )
+        assert len(dist), f"{name}: fixture produced no rows"
+
+
 def test_phrase_respects_tombstones(spark, tmp_path):
     from bilies_go_spark.operators.deletes import delete_docs
 

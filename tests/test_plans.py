@@ -45,6 +45,23 @@ def test_bm25_distributed_scan_prunes_and_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_phrase_scan_prunes_and_broadcasts(spark, sf_dir):
+    """The positional-index phrase plan keeps the same scale shape as
+    the regular distributed plan: term_bucket partition pruning + term
+    predicate pushdown on the segment scan, broadcast query-terms and
+    term-stats joins, no fan-out joins."""
+    from bilies_go_spark import driver_queries as dq
+    from bilies_go_spark.operators.query import QueryEngine
+
+    idx = dq.build_documents_index_positional(spark, sf_dir)
+    plan = _plan(QueryEngine(spark, idx).topk_phrase(dq.phrase_queries_pdf()))
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "PushedFilters" in plan and "In(term, [" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_join_star_broadcasts_dimensions(spark, sf_dir):
     """customer and nation are dimensions: they must broadcast-join,
     and nothing may nested-loop/cartesian."""
