@@ -638,6 +638,88 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- metadata-filtered search -------------------------------------------------
+# The Lucene filter-bitset analogue: BM25 top-k restricted to an
+# allowed doc set (tenant / source filter) with GLOBAL scoring stats —
+# the filter restricts the result set, not the scoring model.
+
+FILTER_SOURCES = ("src1", "src4")
+
+
+def _allowed_ids(sf_dir: str):
+    """Sorted allowed doc ids for the filter predicate, read driver-side
+    via pyarrow (at 10^12 docs this ships as a broadcast bitmap)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    t = ds.to_table(
+        filter=pads.field("source").isin(list(FILTER_SOURCES)), columns=["doc_id"]
+    )
+    return np.sort(np.asarray(t["doc_id"].to_pylist(), dtype="int64"))
+
+
+def bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered BM25 top-k on the posting index — must match the
+    pure-SQL oracle (same global-stats CTEs, results restricted to the
+    filter predicate) rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_distributed(bm25_queries_pdf(), allowed=_allowed_ids(sf_dir))
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            bm25_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_filtered_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in BM25_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    src_list = ", ".join(f"'{s}'" for s in FILTER_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+allowed AS (SELECT doc_id FROM documents WHERE source IN ({src_list})),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN allowed a ON a.doc_id = p.doc_id
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- faceted search counts ----------------------------------------------------
 # The search-engine facet panel: for each (conjunctive) query, matching
 # doc counts per facet value — the index supplies the match SET
@@ -1087,6 +1169,8 @@ def registry() -> dict[str, tuple]:
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),
+        # metadata-filtered top-k (allowed doc set, global stats)
+        "bm25_topk_filtered": (bm25_filtered, bm25_filtered_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

@@ -119,7 +119,7 @@ def _score_shard(
     b: float,
     n_docs: int,
     avgdl: float,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
     tie_margin: float = 0.0,
 ) -> pd.DataFrame:
     """Exhaustively score one (query, shard): decode every slice,
@@ -190,22 +190,64 @@ class KernelStats:
     blocks_decoded: int = 0
 
 
-def _alive_triple(triple, deleted: np.ndarray | None):
-    """Drop tombstoned doc ids from a decoded (ids, tfs, dls) triple.
+class DocSetFilter:
+    """Combined doc-id mask shipped to kernels in place of the plain
+    tombstone array: ``deleted`` (sorted, exclude) plus an optional
+    ``allowed`` set (sorted, include-only) — the Lucene filter-bitset
+    analogue for metadata-filtered search (tenant / source / language
+    restrictions).  Masking happens at decode time, exactly like
+    tombstones, so block upper bounds only get looser and every pruning
+    theta (bootstrapped from already-masked partials) stays rank-safe
+    for the FILTERED ranking.  Corpus stats (df, n_docs, avgdl) stay
+    global — the filter restricts the result set, not the scoring
+    model.  At 10^12 docs the allowed set would ship as a broadcast
+    bitmap/Bloom per executor; the array form is the single-node /
+    per-task contract."""
+
+    __slots__ = ("deleted", "allowed")
+
+    def __init__(self, deleted: np.ndarray | None, allowed: np.ndarray | None):
+        self.deleted = deleted if deleted is not None and deleted.size else None
+        self.allowed = allowed
+
+    def keep_mask(self, ids: np.ndarray) -> np.ndarray | None:
+        """Bool keep-mask over ``ids`` (None == keep everything)."""
+        keep = None
+        if self.deleted is not None:
+            pos = np.minimum(np.searchsorted(self.deleted, ids), self.deleted.size - 1)
+            keep = self.deleted[pos] != ids
+        if self.allowed is not None:
+            if self.allowed.size == 0:
+                return np.zeros(ids.size, dtype=bool)
+            pos = np.minimum(np.searchsorted(self.allowed, ids), self.allowed.size - 1)
+            inall = self.allowed[pos] == ids
+            keep = inall if keep is None else (keep & inall)
+        return keep
+
+
+def _keep_mask(ids: np.ndarray, flt) -> np.ndarray | None:
+    """Keep-mask for ``flt`` being None, a sorted tombstone ndarray
+    (the historical contract), or a :class:`DocSetFilter`."""
+    if flt is None or ids.size == 0:
+        return None
+    if isinstance(flt, DocSetFilter):
+        return flt.keep_mask(ids)
+    if flt.size == 0:
+        return None
+    pos = np.minimum(np.searchsorted(flt, ids), flt.size - 1)
+    return flt[pos] != ids
+
+
+def _alive_triple(triple, deleted):
+    """Drop masked doc ids from a decoded (ids, tfs, dls) triple.
 
     ``deleted`` is the engine's sorted tombstone array
-    (operators/deletes.py): one searchsorted pass, O(n log d).  Block
-    upper bounds computed BEFORE masking stay valid (they can only be
+    (operators/deletes.py) or a :class:`DocSetFilter` (tombstones +
+    allowed set): one searchsorted pass each, O(n log d).  Block upper
+    bounds computed BEFORE masking stay valid (they can only be
     looser), so pruning remains rank-safe."""
-    if deleted is None or deleted.size == 0:
-        return triple
-    ids = triple[0]
-    if ids.size == 0:
-        return triple
-    pos = np.searchsorted(deleted, ids)
-    pos = np.minimum(pos, deleted.size - 1)
-    keep = deleted[pos] != ids
-    if keep.all():
+    keep = _keep_mask(triple[0], deleted)
+    if keep is None or keep.all():
         return triple
     return triple[0][keep], triple[1][keep], triple[2][keep]
 
@@ -328,7 +370,7 @@ def score_query_kernel(
     prune: bool = True,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ) -> pd.DataFrame:
     """Score one query's segment rows -> top-k (exact).
 
@@ -411,7 +453,7 @@ def conjunctive_query_kernel(
     avgdl: float,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ) -> pd.DataFrame:
     """AND-semantics top-k: only docs containing EVERY query term
     (BM25-scored, same formula/fold order as the OR kernel).
@@ -502,18 +544,12 @@ def conjunctive_query_kernel(
 PHRASE_POS_STRIDE = 1 << 21
 
 
-def _alive_quad(quad, deleted: np.ndarray | None):
-    """Positional twin of :func:`_alive_triple`: drops tombstoned docs
-    AND their position entries (positions align with repeat(ids, tfs))."""
-    if deleted is None or deleted.size == 0:
-        return quad
+def _alive_quad(quad, deleted):
+    """Positional twin of :func:`_alive_triple`: drops masked docs AND
+    their position entries (positions align with repeat(ids, tfs))."""
     ids, tfs, dls, pos = quad
-    if ids.size == 0:
-        return quad
-    pidx = np.searchsorted(deleted, ids)
-    pidx = np.minimum(pidx, deleted.size - 1)
-    keep = deleted[pidx] != ids
-    if keep.all():
+    keep = _keep_mask(ids, deleted)
+    if keep is None or keep.all():
         return quad
     return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
 
@@ -601,7 +637,7 @@ def phrase_query_kernel(
     avgdl: float,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ) -> pd.DataFrame:
     """Exact phrase top-k over a POSITIONAL index: docs containing the
     query tokens as a contiguous run (in token space), BM25-scored over
@@ -703,7 +739,7 @@ def proximity_query_kernel(
     avgdl: float,
     stats: KernelStats | None = None,
     tie_margin: float = 0.0,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ) -> pd.DataFrame:
     """Unordered proximity top-k over a POSITIONAL index: docs where
     ALL query terms occur within a token window of span <= ``slop``
@@ -803,7 +839,7 @@ MATCH_SCHEMA = "query_id bigint, doc_id bigint"
 def conjunctive_match_kernel(
     pdf: pd.DataFrame,
     stats: KernelStats | None = None,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ) -> pd.DataFrame:
     """ALL docs containing EVERY query term (no scoring, no top-k) —
     the match-set surface faceting/analytics consume.  Same
@@ -921,7 +957,7 @@ def _pruned_candidates(
     b,
     stats: KernelStats,
     tie_margin: float = 0.0,
-    deleted: np.ndarray | None = None,
+    deleted: np.ndarray | DocSetFilter | None = None,
 ):
     """Block-max candidate pruning with exact-seed θ refinement and
     MaxScore essential-list filtering + candidate-directed gather.
@@ -1372,6 +1408,14 @@ class QueryEngine:
         buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
         return terms, buckets
 
+    def _doc_filter(self, allowed: "np.ndarray | None"):
+        """Kernel-side doc mask: the pinned tombstones, optionally
+        combined with an allowed-id set (metadata-filtered search —
+        see :class:`DocSetFilter`).  ``allowed`` must be sorted int64."""
+        if allowed is None:
+            return self.deleted
+        return DocSetFilter(self.deleted, np.ascontiguousarray(allowed, dtype=np.int64))
+
     # -- distributed path ----------------------------------------------------
 
     #: auto-sharding aims for roughly this many postings per shard task
@@ -1407,17 +1451,24 @@ class QueryEngine:
         par = max(self.spark.sparkContext.defaultParallelism, 1)
         return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
 
-    def topk_distributed(self, queries: pd.DataFrame, n_shards: int | None = None) -> DataFrame:
+    def topk_distributed(
+        self,
+        queries: pd.DataFrame,
+        n_shards: int | None = None,
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
         """Cluster path: pruned segment scan + broadcast joins + one
         kernel task per query, or the doc-range-sharded plan
         (:meth:`topk_sharded`) which parallelizes WITHIN a query — the
         right plan when single queries touch huge posting lists (hot
         terms at 10^12-doc scale).  ``n_shards=None`` picks
-        automatically from the estimated posting volume."""
+        automatically from the estimated posting volume.  ``allowed``
+        restricts results to a sorted doc-id set (filtered search;
+        global scoring stats)."""
         if n_shards is None:
             n_shards = self._auto_shards(queries)
         if n_shards > 1:
-            return self.topk_sharded(queries, n_shards)
+            return self.topk_sharded(queries, n_shards, allowed=allowed)
         qt = query_terms_df(self.spark, queries)
         terms, buckets = self._terms_and_buckets(queries)
         if not terms:
@@ -1428,7 +1479,7 @@ class QueryEngine:
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
         margin = self.tie_margin
-        deleted = self.deleted
+        deleted = self._doc_filter(allowed)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -1638,7 +1689,9 @@ class QueryEngine:
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
-    def match_ids(self, queries: pd.DataFrame) -> DataFrame:
+    def match_ids(
+        self, queries: pd.DataFrame, allowed: "np.ndarray | None" = None
+    ) -> DataFrame:
         """(query_id, doc_id) for EVERY doc containing all of a query's
         terms (AND semantics, no ranking) — the match-set surface that
         faceting, analytics joins, and export pipelines consume.
@@ -1664,7 +1717,7 @@ class QueryEngine:
         segs = self._segments_df(terms, buckets)
         tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
-        deleted = self.deleted
+        deleted = self._doc_filter(allowed)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -1769,7 +1822,9 @@ class QueryEngine:
 
     # -- doc-range-sharded distributed path ------------------------------------
 
-    def topk_sharded(self, queries: pd.DataFrame, n_shards: int) -> DataFrame:
+    def topk_sharded(
+        self, queries: pd.DataFrame, n_shards: int, allowed: "np.ndarray | None" = None
+    ) -> DataFrame:
         """Exact top-k with intra-query parallelism: doc-id-range shards.
 
         Doc ids are dense ranks (corpus.assign_doc_ids), so equal-width
@@ -1814,7 +1869,7 @@ class QueryEngine:
 
         sliced = joined.mapInPandas(slicer, schema=slice_schema)
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
-        deleted = self.deleted
+        deleted = self._doc_filter(allowed)
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2009,7 +2064,9 @@ class QueryEngine:
             }
         )
 
-    def topk_pandas(self, queries: pd.DataFrame) -> pd.DataFrame:
+    def topk_pandas(
+        self, queries: pd.DataFrame, allowed: "np.ndarray | None" = None
+    ) -> pd.DataFrame:
         """Serving path: read only the query terms' segment rows via
         pyarrow (term_bucket partition pruning + term predicate + LRU
         term cache, no Spark job) and score driver-side.
@@ -2032,6 +2089,7 @@ class QueryEngine:
         seg_pdf = self._seg_rows(terms)
         if seg_pdf.empty:
             return empty
+        flt = self._doc_filter(allowed)
         outs = []
         for q in queries.itertuples(index=False):
             qterms = sorted(_tokenize_terms(q.text))
@@ -2039,10 +2097,14 @@ class QueryEngine:
             if pdf.empty:
                 continue
             present = sorted(pdf["term"].unique())
-            dense = self._topk_dense(present, pdf, int(q.query_id), int(q.k))
-            if dense is not None:
-                outs.append(dense)
-                continue
+            if allowed is None:
+                # the dense-contribution cache holds UNFILTERED arrays;
+                # filtered queries take the kernel path (masking at
+                # decode, exact) instead of invalidating the cache
+                dense = self._topk_dense(present, pdf, int(q.query_id), int(q.k))
+                if dense is not None:
+                    outs.append(dense)
+                    continue
             pdf = pdf.assign(query_id=int(q.query_id), k=int(q.k))
             outs.append(
                 score_query_kernel(
@@ -2053,21 +2115,27 @@ class QueryEngine:
                     self.avgdl,
                     prune=self.prune,
                     tie_margin=self.tie_margin,
-                    deleted=self.deleted,
+                    deleted=flt,
                 )
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    def topk(self, queries: pd.DataFrame, mode: str = "auto") -> DataFrame:
+    def topk(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "auto",
+        allowed: "np.ndarray | None" = None,
+    ) -> DataFrame:
         """Batch top-k: one output row per (query, rank).
 
         mode: 'local' (driver serving path), 'distributed', or 'auto'
-        (local for small batches)."""
+        (local for small batches).  ``allowed`` restricts results to a
+        sorted doc-id set (filtered search; global scoring stats)."""
         if mode == "auto":
             mode = "local" if len(queries) <= self.LOCAL_MAX_QUERIES else "distributed"
         if mode == "distributed":
-            return self.topk_distributed(queries)
-        pdf = self.topk_pandas(queries)
+            return self.topk_distributed(queries, allowed=allowed)
+        pdf = self.topk_pandas(queries, allowed=allowed)
         if pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)

@@ -343,3 +343,45 @@ def test_match_ids_equals_brute_and(spark, small_corpus, index_dir):
         )
         assert sorted(got[got.query_id == q.query_id]["doc_id"]) == exp
     assert len(got), "fixture must produce at least one match"
+
+
+def test_filtered_topk_exact_on_all_paths(spark, small_corpus, index_dir):
+    """Metadata-filtered search (allowed doc set, GLOBAL scoring stats)
+    is exact on the serving, per-query-distributed, and sharded paths:
+    each equals the brute global scores restricted to the allowed set.
+    Pruning stays rank-safe because masking happens at decode time
+    (bounds only get looser, theta bootstraps from masked partials)."""
+    import numpy as np
+    import pandas as pd
+
+    from bilies_go_spark.operators.bm25 import brute_force_scores
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = reference_queries().head(6)
+    scores = brute_force_scores(spark, small_corpus, queries).toPandas()
+    all_ids = np.sort(small_corpus.select("doc_id").toPandas()["doc_id"].to_numpy())
+    allowed = all_ids[all_ids % 2 == 0]  # every even doc id
+
+    exp_rows = []
+    for q in queries.itertuples(index=False):
+        sub = scores[
+            (scores.query_id == q.query_id) & scores.doc_id.isin(allowed)
+        ].sort_values(["score", "doc_id"], ascending=[False, True]).head(int(q.k))
+        for rank, r in enumerate(sub.itertuples(index=False), 1):
+            exp_rows.append((int(q.query_id), rank, int(r.doc_id), float(r.score)))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "rank", "doc_id", "score"])
+
+    eng = QueryEngine(spark, index_dir)
+    got_serving = eng.topk_pandas(queries, allowed=allowed)
+    got_dist = eng.topk_distributed(queries, allowed=allowed).toPandas()
+    got_shard = eng.topk_sharded(queries, 3, allowed=allowed).toPandas()
+    for name, got in [
+        ("serving", got_serving), ("distributed", got_dist), ("sharded", got_shard)
+    ]:
+        _assert_rank_identical(got, exp)
+    # every returned doc honors the filter, and the filter actually bit
+    assert set(got_dist["doc_id"]).issubset(set(allowed.tolist()))
+    unfiltered = eng.topk_pandas(queries)
+    assert set(unfiltered["doc_id"]) - set(allowed.tolist()), (
+        "fixture filter must exclude some unfiltered top-k docs"
+    )
