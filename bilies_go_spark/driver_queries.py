@@ -1023,6 +1023,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- events: session windows (streaming-native operator) ---------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — Spark's
+    ``session_window`` operator, which runs unchanged under readStream
+    with a watermark (the stateful-streaming session use case).
+    Session boundary semantics: a new session starts when the gap to
+    the previous event is >= the threshold; session_start is the exact
+    first-event timestamp in epoch microseconds (no truncation, so the
+    hash compare is exact)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), ROUND_DIGITS).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ: take exact epoch micros via
+            # timestampdiff from the NTZ epoch (timezone-independent —
+            # no session-TZ reinterpretation, matches DuckDB epoch_us)
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)"
+            ).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionized_oracle() -> str:
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              ) >= {gap_us} OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       count(*) AS n_events, {duck_round('sum(value)')} AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 # --- multimodal plumbing: opaque binary column + typed metadata --------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1288,9 @@ def registry() -> dict[str, tuple]:
         "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
         # events / streaming-shaped agg
         "events_windowed": (q_events_windowed, events_windowed_oracle()),
+        # per-user session windows (session_window operator — the
+        # stateful-streaming session use case; gaps-and-islands oracle)
+        "events_sessionized": (q_events_sessionized, events_sessionized_oracle()),
         # multimodal plumbing
         "multimodal_meta": (q_multimodal_meta, multimodal_meta_oracle()),
         # Arrow-batched feature extraction over binary payloads; the

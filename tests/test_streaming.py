@@ -380,3 +380,74 @@ def test_tier_count_bounded_by_leveling(spark, small_corpus, tmp_path_factory):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_events_sessionized_runs_under_readstream(spark, sf_dir, tmp_path_factory):
+    """The session-window aggregation the driver gates as a batch query
+    (driver_queries.q_events_sessionized) runs UNCHANGED as a stateful
+    Structured-Streaming query: readStream + watermark + session_window
+    in append mode, drained with availableNow, emits exactly the
+    watermark-closed sessions of the batch result — the canonical
+    stateful-sessionization deployment shape."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def sessions(df):
+        # expects ts already cast to TIMESTAMP (watermark must be set
+        # on the same column instance — a re-cast would drop it)
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_timestamp("w.start").alias("s_start"),
+                F.unix_timestamp("w.end").alias("s_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    batch = sessions(
+        spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).toPandas()
+    schema = spark.read.parquet(src).schema
+    src_dir = str(tmp_path_factory.mktemp("sess_src"))
+    shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+    stream = sessions(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+    )
+    out = str(tmp_path_factory.mktemp("sess_sink"))
+    ck = str(tmp_path_factory.mktemp("sess_ck"))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    max_ts = (
+        spark.read.parquet(src)
+        .agg(F.unix_timestamp(F.max("ts").cast("timestamp")))
+        .collect()[0][0]
+    )
+    # append emits sessions whose window end precedes the final
+    # watermark; the open tail sessions are withheld (late-data
+    # contract), exactly like the tumbling-window twin above
+    closed = batch[batch["s_end"] <= max_ts - 7200]
+    assert 0 < len(closed) < len(batch)
+    key = ["user_id", "s_start"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = closed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[key + ["s_end", "n_events"]], b[key + ["s_end", "n_events"]]
+    )
