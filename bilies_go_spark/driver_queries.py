@@ -638,6 +638,115 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- more-like-this (query by document) ---------------------------------------
+# Lucene MoreLikeThis reborn: select the source doc's top-N terms by
+# tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
+# then run a standard disjunctive BM25 top-k with those terms.  The
+# whole feature is composition: dictionary lookup + the existing topk.
+
+MLT_SOURCES: list[tuple[int, int, int]] = [
+    # (query_id, source doc_id, k)
+    (0, 7, 10),
+    (1, 42, 10),
+    (2, 123, 10),
+    (3, 250, 10),
+    (4, 481, 10),
+]
+MLT_N_TERMS = 5
+
+
+def bm25_more_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document top-k — must match the pure-SQL term-selection
+    + scoring oracle rank-for-rank (the source doc itself ranks, as in
+    Lucene MLT)."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    src_ids = [d for _, d, _ in MLT_SOURCES]
+    ds = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    texts = {
+        int(r["doc_id"]): str(r["text"])
+        for r in ds.to_table(
+            filter=pads.field("doc_id").isin(src_ids), columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    qrows = []
+    for qid, src, k in MLT_SOURCES:
+        toks = tokenize_py(texts[src])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        dfs = eng.term_dfs(sorted(tf))
+        scored = sorted(
+            (
+                (-tf[t] * math.log(eng.n_docs * 1.0 / dfs[t]), t)
+                for t in tf
+                if dfs.get(t)
+            ),
+        )[:MLT_N_TERMS]
+        qrows.append((qid, " ".join(t for _, t in scored), k))
+    queries = pd.DataFrame(qrows, columns=["query_id", "text", "k"])
+    raw = eng.topk(queries, mode="distributed")
+    kdf = F.broadcast(
+        spark.createDataFrame(queries[["query_id", "k"]], schema="query_id bigint, k int")
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_more_like_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    srows = ", ".join(f"({qid}, {src}, {k})" for qid, src, k in MLT_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+src(query_id, src_doc, k) AS (VALUES {srows}),
+mlt AS (
+  SELECT s.query_id, p.term, s.k,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY p.tf * ln(st.n_docs * 1.0 / ts.df) DESC, p.term ASC
+         ) AS rn
+  FROM src s
+  JOIN post p ON p.doc_id = s.src_doc
+  JOIN ts ON ts.term = p.term
+  CROSS JOIN st
+),
+q AS (SELECT query_id, term, k FROM mlt WHERE rn <= {MLT_N_TERMS}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- metadata-filtered search -------------------------------------------------
 # The Lucene filter-bitset analogue: BM25 top-k restricted to an
 # allowed doc set (tenant / source filter) with GLOBAL scoring stats —
@@ -1232,6 +1341,8 @@ def registry() -> dict[str, tuple]:
         "search_facets": (search_facets, search_facets_oracle_sql()),
         # metadata-filtered top-k (allowed doc set, global stats)
         "bm25_topk_filtered": (bm25_filtered, bm25_filtered_oracle_sql()),
+        # query-by-document: top tf*idf terms of a source doc -> OR query
+        "bm25_more_like": (bm25_more_like, bm25_more_like_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

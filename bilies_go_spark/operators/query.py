@@ -1421,6 +1421,26 @@ class QueryEngine:
     #: auto-sharding aims for roughly this many postings per shard task
     SHARD_TARGET_POSTINGS = 500_000
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term (summed across base + tiers + delete
+        deltas) via one pruned driver-side pyarrow read — the term
+        dictionary lookup (no Spark job)."""
+        import pyarrow.dataset as pads
+
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        _, ts_dss = self._datasets()
+        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
+        df_map: dict[str, int] = {}
+        for ds in ts_dss:
+            t = ds.to_table(filter=filt, columns=["term", "df"])
+            for term, dfreq in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                df_map[term] = df_map.get(term, 0) + int(dfreq)
+        return df_map
+
     def _auto_shards(self, queries: pd.DataFrame) -> int:
         """Pick the shard count from the heaviest query's estimated
         posting volume (Σ df over its terms — one tiny driver-side
@@ -1429,18 +1449,10 @@ class QueryEngine:
         queries get intra-query parallelism so no single task ever
         holds a full hot-term posting list — the plan that survives
         10^12 docs without a mode knob."""
-        import pyarrow.dataset as pads
-
         terms, buckets = self._terms_and_buckets(queries)
         if not terms:
             return 1
-        _, ts_dss = self._datasets()
-        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(terms)
-        df_map: dict[str, int] = {}
-        for ds in ts_dss:
-            t = ds.to_table(filter=filt, columns=["term", "df"])
-            for term, dfreq in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                df_map[term] = df_map.get(term, 0) + int(dfreq)
+        df_map = self.term_dfs(terms)
         vol = max(
             (
                 sum(df_map.get(t, 0) for t in _tokenize_terms(q.text))
@@ -1569,20 +1581,19 @@ class QueryEngine:
             pdf = seg_pdf[seg_pdf["term"].isin(qrows["term"])]
             if pdf.empty:
                 continue
-            extra = qrows.drop(columns=["term"]).iloc[0:1]
+            # attach the query's per-row columns: `slots` is per-TERM
+            # (mapped), everything else (k, n_terms, slop) is constant
             per_term = qrows.set_index("term")
-            pdf = pdf.assign(
-                query_id=int(qid),
-                **{
-                    c: (
-                        pdf["term"].map(per_term[c]).to_numpy()
-                        if c in ("slots",)
-                        else extra[c].iloc[0]
-                    )
-                    for c in qrows.columns
-                    if c not in ("query_id", "term")
-                },
-            )
+            extras = {}
+            for c in qrows.columns:
+                if c in ("query_id", "term"):
+                    continue
+                extras[c] = (
+                    pdf["term"].map(per_term[c]).to_numpy()
+                    if c == "slots"
+                    else qrows[c].iloc[0]
+                )
+            pdf = pdf.assign(query_id=int(qid), **extras)
             outs.append(
                 kernel_fn(
                     pdf,
