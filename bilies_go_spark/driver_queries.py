@@ -829,6 +829,95 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- fuzzy (edit-distance) queries --------------------------------------------
+# Trailing-~ pieces expand to dictionary terms within Levenshtein
+# distance 1 via the SymSpell deletion-variant join (all DataFrame
+# ops); scoring is the OR of the expanded terms, like prefix.
+
+FUZZY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "tble~", 10),          # typo -> table
+    (1, "scann~ merge", 10),   # fuzzy + literal
+    (2, "sow~", 10),           # multi-expansion: {row, slow}
+    (3, "zzzz~", 10),          # no dictionary term within 1
+    (4, "part~", 10),          # exact self-match at distance 0
+    (5, "vale~ ky~", 10),      # two fuzzy tokens -> value, key
+]
+
+
+def fuzzy_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in FUZZY_QUERIES],
+            "text": [q[1] for q in FUZZY_QUERIES],
+            "k": [q[2] for q in FUZZY_QUERIES],
+        }
+    )
+
+
+def bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-expanded top-k — must match the levenshtein-expansion
+    oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_fuzzy(fuzzy_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            fuzzy_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_fuzzy_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in FUZZY_QUERIES:
+        for piece in text.split():
+            isf = piece.endswith("~")
+            toks = tokenize_py(piece[:-1] if isf else piece)
+            assert len(toks) == 1
+            qrows.append(f"({qid}, '{toks[0]}', {1 if isf else 0}, {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, tok, max_dist, k) AS (VALUES {values}),
+qe AS (
+  SELECT DISTINCT q.query_id, ts.term, q.k
+  FROM q JOIN ts ON levenshtein(q.tok, ts.term) <= q.max_dist
+),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- faceted search counts ----------------------------------------------------
 # The search-engine facet panel: for each (conjunctive) query, matching
 # doc counts per facet value — the index supplies the match SET
@@ -1343,6 +1432,9 @@ def registry() -> dict[str, tuple]:
         "bm25_topk_filtered": (bm25_filtered, bm25_filtered_oracle_sql()),
         # query-by-document: top tf*idf terms of a source doc -> OR query
         "bm25_more_like": (bm25_more_like, bm25_more_like_oracle_sql()),
+        # trailing-~ fuzzy expansion (Levenshtein <= 1, SymSpell
+        # deletion-variant join); oracle = levenshtein-expansion
+        "bm25_topk_fuzzy": (bm25_fuzzy, bm25_fuzzy_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

@@ -1800,7 +1800,13 @@ class QueryEngine:
                 rows.append((int(r.query_id), t, int(r.k)))
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k"])
+        return self._topk_expanded(
+            pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
+        )
+
+    def _topk_expanded(self, qt_pdf: pd.DataFrame, mode: str) -> DataFrame:
+        """Disjunctive top-k from an already-expanded (query_id, term,
+        k) row set — the shared tail of prefix and fuzzy expansion."""
         if mode == "local":
             out = self._kernel_local(qt_pdf, score_query_kernel)
             if out.empty:
@@ -1830,6 +1836,96 @@ class QueryEngine:
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    # -- fuzzy (edit-distance) expansion ---------------------------------------
+
+    @staticmethod
+    def _parse_fuzzy_query(text: str) -> list[tuple[str, bool]]:
+        """(token, is_fuzzy) pairs: a trailing ``~`` (the Lucene fuzzy
+        marker) requests Levenshtein-distance-<=1 dictionary expansion;
+        everything else matches exactly."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        out = []
+        for piece in text.split():
+            is_fuzzy = piece.endswith("~")
+            toks = tokenize_py(piece[:-1] if is_fuzzy else piece)
+            if len(toks) != 1:
+                raise ValueError(f"fuzzy-query piece {piece!r} is not a single term")
+            out.append((toks[0], is_fuzzy))
+        return out
+
+    @staticmethod
+    def _deletion_variants(tok: str) -> list[str]:
+        return [tok] + [tok[:i] + tok[i + 1 :] for i in range(len(tok))]
+
+    def expand_fuzzy(self, toks: list[str]) -> dict[str, list[str]]:
+        """Dictionary terms within Levenshtein distance 1 of each token,
+        via the SymSpell deletion-variant join: candidates are (vocab
+        term, query token) pairs sharing a 0/1-char-deletion variant —
+        any distance-<=1 pair shares one — then an exact
+        ``F.levenshtein`` verify.  All DataFrame ops: the vocabulary
+        side streams through explode + broadcast-join (never collected,
+        linear in dictionary size — the shape that survives a 10^8-term
+        vocabulary), and only the tiny verified expansion returns."""
+        if not toks:
+            return {}
+        qrows = [
+            (t, v) for t in sorted(set(toks)) for v in self._deletion_variants(t)
+        ]
+        qv = self.spark.createDataFrame(
+            pd.DataFrame(qrows, columns=["qtok", "variant"]),
+            schema="qtok string, variant string",
+        )
+        from functools import reduce
+
+        vocab = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(p).select("term")
+                for p in self._ts_roots()
+            ],
+        ).distinct()
+        variants_expr = (
+            "array_union(array(term), transform(sequence(1, length(term)), "
+            "i -> concat(substring(term, 1, i - 1), substring(term, i + 1, length(term)))))"
+        )
+        cand = (
+            vocab.select("term", F.explode(F.expr(variants_expr)).alias("variant"))
+            .join(F.broadcast(qv), "variant")
+            .select("qtok", "term")
+            .distinct()
+            .filter(F.levenshtein(F.col("qtok"), F.col("term")) <= 1)
+        )
+        out: dict[str, list[str]] = {t: [] for t in set(toks)}
+        for r in cand.collect():
+            out[r["qtok"]].append(r["term"])
+        return {t: sorted(v) for t, v in out.items()}
+
+    def topk_fuzzy(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+        """Disjunctive top-k with Lucene-style trailing-``~`` fuzzy
+        terms: each fuzzy token expands to the dictionary terms within
+        Levenshtein distance 1 (:meth:`expand_fuzzy`) and the query
+        scores as the OR of all expanded terms — same exact-scoring
+        rewrite as :meth:`topk_prefix`.  Works on any index."""
+        parsed = {
+            int(r.query_id): self._parse_fuzzy_query(r.text)
+            for r in queries.itertuples(index=False)
+        }
+        fuzzy_toks = sorted({tok for ps in parsed.values() for tok, isf in ps if isf})
+        expansion = self.expand_fuzzy(fuzzy_toks)
+        rows = []
+        for r in queries.itertuples(index=False):
+            terms: set[str] = set()
+            for tok, isf in parsed[int(r.query_id)]:
+                terms.update(expansion.get(tok, []) if isf else [tok])
+            for t in sorted(terms):
+                rows.append((int(r.query_id), t, int(r.k)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self._topk_expanded(
+            pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
+        )
 
     # -- doc-range-sharded distributed path ------------------------------------
 

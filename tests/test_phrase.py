@@ -327,6 +327,50 @@ def test_local_mode_equals_distributed(spark, pos_index_dir):
         assert len(dist), f"{name}: fixture produced no rows"
 
 
+def test_fuzzy_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir):
+    """topk_fuzzy == brute disjunctive BM25 over the Levenshtein<=1
+    dictionary expansion computed independently (pure-Python edit
+    distance over the corpus vocabulary)."""
+
+    def lev(a: str, b: str) -> int:
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    vocab = sorted({t for txt in corpus_pdf["text"] for t in tokenize_py(txt)})
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["thre~", "watr~ the", "zzqqx~"],
+            "k": [10, 10, 10],
+        }
+    )
+
+    def expand(q):
+        terms = []
+        for piece in q.text.split():
+            if piece.endswith("~"):
+                terms += [v for v in vocab if lev(piece[:-1], v) <= 1]
+            else:
+                terms.append(piece)
+        return terms
+
+    exp = _brute_filtered_topk(
+        corpus_pdf,
+        queries,
+        match_fn=lambda q, t: bool(set(expand(q)) & set(t)),
+        terms_fn=expand,
+    )
+    got = QueryEngine(spark, pos_index_dir).topk_fuzzy(queries).toPandas()
+    _assert_same_topk(got, exp)
+    # the fuzzy tokens must genuinely expand (typo -> real terms)
+    assert len([v for v in vocab if lev("thre", v) <= 1]) >= 1
+
+
 def test_phrase_respects_tombstones(spark, tmp_path):
     from bilies_go_spark.operators.deletes import delete_docs
 
