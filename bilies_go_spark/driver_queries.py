@@ -829,6 +829,99 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- boolean negation (MUST_NOT) ----------------------------------------------
+# Leading-- pieces exclude docs containing the term; score = OR of the
+# positive terms.  Exclusion folds into the kernel's doc mask (the
+# DocSetFilter tombstone side), so pruning stays rank-safe.
+
+BOOLEAN_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table -dup", 10),          # hot minus rare
+    (1, "hash join -merge", 10),
+    (2, "dup -table", 10),          # rare minus hot
+    (3, "query -zzzmissing", 10),   # absent negation -> no exclusion
+    (4, "table -table", 10),        # everything excluded -> empty
+]
+
+
+def boolean_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in BOOLEAN_QUERIES],
+            "text": [q[1] for q in BOOLEAN_QUERIES],
+            "k": [q[2] for q in BOOLEAN_QUERIES],
+        }
+    )
+
+
+def bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated top-k — must match the NOT-EXISTS oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_boolean(boolean_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            boolean_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_boolean_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    prows, nrows = [], []
+    for qid, text, k in BOOLEAN_QUERIES:
+        seen: dict[str, bool] = {}
+        for tok, neg in QueryEngine._parse_boolean_query(text):
+            seen[tok] = seen.get(tok, False) or neg
+        for t, neg in sorted(seen.items()):
+            (nrows if neg else prows).append(
+                f"({qid}, '{t}', {k})" if not neg else f"({qid}, '{t}')"
+            )
+    values = ", ".join(prows)
+    neg_values = ", ".join(nrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+nq(query_id, term) AS (VALUES {neg_values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nq JOIN post np ON np.term = nq.term AND np.doc_id = p.doc_id
+    WHERE nq.query_id = q.query_id
+  )
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- fuzzy (edit-distance) queries --------------------------------------------
 # Trailing-~ pieces expand to dictionary terms within Levenshtein
 # distance 1 via the SymSpell deletion-variant join (all DataFrame
@@ -1435,6 +1528,9 @@ def registry() -> dict[str, tuple]:
         # trailing-~ fuzzy expansion (Levenshtein <= 1, SymSpell
         # deletion-variant join); oracle = levenshtein-expansion
         "bm25_topk_fuzzy": (bm25_fuzzy, bm25_fuzzy_oracle_sql()),
+        # leading-- negation (MUST_NOT): exclusion folded into the doc
+        # mask; oracle = NOT EXISTS over the negated terms' postings
+        "bm25_topk_boolean": (bm25_boolean, bm25_boolean_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

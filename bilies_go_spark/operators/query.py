@@ -434,6 +434,67 @@ def score_query_kernel(
     )
 
 
+def boolean_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    prune: bool = True,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """OR-of-positive-terms top-k EXCLUDING docs that contain any
+    negated term (the boolean MUST_NOT clause).
+
+    Exclusion folds into the doc mask: the negated terms' posting ids
+    decode once (Lucene walks the same lists for its exclusion
+    iterator) and join the tombstone side of a :class:`DocSetFilter`,
+    then the standard pruned kernel scores the positive rows — masking
+    at decode keeps block-max pruning rank-safe exactly as for
+    tombstones.  Expects a ``neg`` (0/1) column on every row."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    pos_pdf = pdf[pdf["neg"] == 0]
+    if pos_pdf.empty:
+        return empty
+    neg_pdf = pdf[pdf["neg"] != 0]
+    flt = deleted
+    if not neg_pdf.empty:
+        excl_parts = []
+        for term in neg_pdf["term"].unique():
+            runs = [
+                row_to_segment(r) for _, r in neg_pdf[neg_pdf["term"] == term].iterrows()
+            ]
+            ids, _, _ = _decode_term_runs(runs, None, deleted=None)
+            if ids.size:
+                excl_parts.append(ids)
+        if excl_parts:
+            excl = np.unique(np.concatenate(excl_parts))
+            base = deleted if isinstance(deleted, DocSetFilter) else DocSetFilter(deleted, None)
+            tomb = (
+                excl
+                if base.deleted is None
+                else np.union1d(base.deleted, excl)
+            )
+            flt = DocSetFilter(tomb, base.allowed)
+    return score_query_kernel(
+        pos_pdf,
+        k1,
+        b,
+        n_docs,
+        avgdl,
+        prune=prune,
+        stats=stats,
+        tie_margin=tie_margin,
+        deleted=flt,
+    )
+
+
 def _seg_blocks_with_candidates(seg, cand: np.ndarray) -> np.ndarray:
     """Bool mask over a segment's blocks: block may contain one of the
     (sorted) candidate doc ids.  Two binary searches of the block
@@ -1581,8 +1642,9 @@ class QueryEngine:
             pdf = seg_pdf[seg_pdf["term"].isin(qrows["term"])]
             if pdf.empty:
                 continue
-            # attach the query's per-row columns: `slots` is per-TERM
-            # (mapped), everything else (k, n_terms, slop) is constant
+            # attach the query's per-row columns: `slots` and `neg` are
+            # per-TERM (mapped), everything else (k, n_terms, slop) is
+            # constant per query
             per_term = qrows.set_index("term")
             extras = {}
             for c in qrows.columns:
@@ -1590,7 +1652,7 @@ class QueryEngine:
                     continue
                 extras[c] = (
                     pdf["term"].map(per_term[c]).to_numpy()
-                    if c == "slots"
+                    if c in ("slots", "neg")
                     else qrows[c].iloc[0]
                 )
             pdf = pdf.assign(query_id=int(qid), **extras)
@@ -1832,6 +1894,66 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    @staticmethod
+    def _parse_boolean_query(text: str) -> list[tuple[str, bool]]:
+        """(token, is_negated) pairs: a leading ``-`` (the Lucene
+        MUST_NOT marker) excludes docs containing the term."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        out = []
+        for piece in text.split():
+            neg = piece.startswith("-")
+            toks = tokenize_py(piece[1:] if neg else piece)
+            if len(toks) != 1:
+                raise ValueError(f"boolean-query piece {piece!r} is not a single term")
+            out.append((toks[0], neg))
+        return out
+
+    def topk_boolean(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+        """Top-k with Lucene-style leading-``-`` negated terms: score =
+        OR of the positive terms, docs containing ANY negated term
+        excluded (:func:`boolean_query_kernel`).  Works on any index."""
+        rows = []
+        for r in queries.itertuples(index=False):
+            seen: dict[str, bool] = {}
+            for tok, neg in self._parse_boolean_query(r.text):
+                # a term both required and negated -> negation wins
+                seen[tok] = seen.get(tok, False) or neg
+            for t, neg in sorted(seen.items()):
+                rows.append((int(r.query_id), t, int(r.k), int(neg)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "neg"])
+        if mode == "local":
+            out = self._kernel_local(qt_pdf, boolean_query_kernel)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int, neg int"
+        )
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return boolean_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
             )
 

@@ -371,6 +371,41 @@ def test_fuzzy_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir)
     assert len([v for v in vocab if lev("thre", v) <= 1]) >= 1
 
 
+def test_boolean_negation_matches_brute(spark, small_corpus, pos_index_dir):
+    """topk_boolean: OR of positive terms, docs with ANY negated term
+    excluded — equals brute, and local == distributed."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["the -of", "you that -he", "the -the"],
+            "k": [10, 10, 10],
+        }
+    )
+
+    def parts(q):
+        pos, neg = [], []
+        for piece in q.text.split():
+            (neg if piece.startswith("-") else pos).append(piece.lstrip("-"))
+        return pos, neg
+
+    exp = _brute_filtered_topk(
+        corpus_pdf,
+        queries,
+        match_fn=lambda q, t: bool(set(parts(q)[0]) & set(t))
+        and not (set(parts(q)[1]) & set(t)),
+        terms_fn=lambda q: parts(q)[0],
+    )
+    eng = QueryEngine(spark, pos_index_dir)
+    got = eng.topk_boolean(queries).toPandas()
+    _assert_same_topk(got, exp)
+    loc = eng.topk_boolean(queries, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+    # the negation must actually exclude something, and -the empties q2
+    assert len(exp[exp.query_id == 2]) == 0
+    assert len(exp[exp.query_id == 0]) > 0
+
+
 def test_phrase_respects_tombstones(spark, tmp_path):
     from bilies_go_spark.operators.deletes import delete_docs
 
