@@ -178,6 +178,152 @@ def _score_shard(
     )
 
 
+def _slice_segments_by_shard_pos(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame | None:
+    """Positional twin of :func:`_slice_segments_by_shard`: also cuts
+    the positions stream at the same block boundaries (block_pos_off)
+    and carries the phrase columns (n_terms, slots) through."""
+    out = []
+    n_shards = len(bounds) - 1
+    for row in pdf.itertuples(index=False):
+        last = np.asarray(row.block_last_doc_id, dtype=np.int64)
+        nb = last.size
+        if nb == 0:
+            continue
+        starts_doc = np.concatenate([[-1], last[:-1]]) + 1
+        offs = [
+            np.asarray(row.block_doc_off, dtype=np.int64),
+            np.asarray(row.block_tf_off, dtype=np.int64),
+            np.asarray(row.block_dl_off, dtype=np.int64),
+            np.asarray(row.block_pos_off, dtype=np.int64),
+        ]
+        bufs = [
+            bytes(row.doc_gaps_vb),
+            bytes(row.tfs_vb),
+            bytes(row.dls_vb),
+            bytes(row.positions_vb),
+        ]
+        first_arr = np.searchsorted(last, bounds[:-1], side="left")
+        last_arr = np.searchsorted(starts_doc, bounds[1:], side="left") - 1
+        for sh in range(n_shards):
+            first, last_i = int(first_arr[sh]), int(last_arr[sh])
+            if first > last_i or first >= nb:
+                continue
+            slices = []
+            for off, buf in zip(offs, bufs):
+                b0 = int(off[first])
+                b1 = int(off[last_i + 1]) if last_i + 1 < nb else len(buf)
+                slices.append(buf[b0:b1])
+            base = int(last[first - 1]) if first > 0 else 0
+            out.append(
+                (
+                    int(row.query_id),
+                    int(row.k),
+                    int(row.n_terms),
+                    [int(x) for x in row.slots],
+                    row.term,
+                    int(row.df),
+                    sh,
+                    base,
+                    slices[0],
+                    slices[1],
+                    slices[2],
+                    slices[3],
+                )
+            )
+    if not out:
+        return None
+    return pd.DataFrame(
+        out,
+        columns=[
+            "query_id", "k", "n_terms", "slots", "term", "df", "shard",
+            "base_doc", "doc_gaps_vb", "tfs_vb", "dls_vb", "positions_vb",
+        ],
+    )
+
+
+def _phrase_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Phrase scoring for one (query, shard): decode every slice with
+    positions, keep docs in [lo, hi), verify adjacency, fold, shard
+    top-k.  Exact under the doc-range partition: every posting (and
+    position) of a doc lands in its shard, and a term with no postings
+    in the shard means no doc of the shard can contain the phrase."""
+    from bilies_go_spark.operators.codec import _restore_positions, vbyte_decode
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty
+    per_term, quads = {}, {}
+    e = np.empty(0, dtype=np.int64)
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "slots": [int(x) for x in rows["slots"].iloc[0]],
+        }
+        parts = []
+        for r in rows.itertuples(index=False):
+            gaps = vbyte_decode(np.frombuffer(bytes(r.doc_gaps_vb), dtype=np.uint8))
+            if gaps.size == 0:
+                continue
+            ids = int(r.base_doc) + np.cumsum(gaps.astype(np.int64))
+            tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
+            dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
+            deltas = vbyte_decode(np.frombuffer(bytes(r.positions_vb), dtype=np.uint8))
+            pos = _restore_positions(deltas, tfs)
+            m = (ids >= lo) & (ids < hi)
+            if not m.any():
+                continue
+            quad = (ids[m], tfs[m], dls[m], pos[np.repeat(m, tfs)])
+            parts.append(_alive_quad(quad, deleted))
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return empty  # term absent in shard -> no phrase match here
+        quads[term] = (
+            parts[0]
+            if len(parts) == 1
+            else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+        )
+    slot_list = sorted(
+        (per_term[t]["df"], off, t) for t in terms for off in per_term[t]["slots"]
+    )
+    matched = _verify_phrase(quads, slot_list)
+    if matched.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
@@ -690,6 +836,33 @@ def _positional_candidates(per_term, terms, stats, deleted):
     return cand, quads
 
 
+def _verify_phrase(quads, slot_list) -> np.ndarray:
+    """Docs whose token stream contains the phrase: intersect composite
+    (doc·2^21 + start-position) keys slot by slot.  ``slot_list`` is
+    (sort-key, offset, term) tuples, cheapest-first; ``quads`` maps
+    term -> (ids, tfs, dls, pos)."""
+    keys: np.ndarray | None = None
+    e = np.empty(0, dtype=np.int64)
+    for _, off, t in slot_list:
+        ids, tfs, _dls, pos = quads[t]
+        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+        doc_rep = np.repeat(ids, tfs)
+        valid = pos >= off
+        skeys = doc_rep[valid] * PHRASE_POS_STRIDE + (pos[valid] - off)
+        skeys.sort()
+        if keys is None:
+            keys = skeys
+        else:
+            if skeys.size == 0:
+                return e
+            pidx = np.minimum(np.searchsorted(skeys, keys), skeys.size - 1)
+            keys = keys[skeys[pidx] == keys]
+        if keys.size == 0:
+            return e
+    return np.unique(keys // PHRASE_POS_STRIDE)
+
+
 def phrase_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -754,27 +927,12 @@ def phrase_query_kernel(
         return empty
 
     # 2. adjacency verification over candidate docs only
-    slot_list = [
+    slot_list = sorted(
         (per_term[t]["df"], off, t) for t in terms for off in per_term[t]["slots"]
-    ]
-    slot_list.sort()  # rarest term's slots first — running set shrinks fastest
-    keys: np.ndarray | None = None
-    for _, off, t in slot_list:
-        ids, tfs, _dls, pos = quads[t]
-        doc_rep = np.repeat(ids, tfs)
-        valid = pos >= off
-        skeys = doc_rep[valid] * PHRASE_POS_STRIDE + (pos[valid] - off)
-        skeys.sort()
-        if keys is None:
-            keys = skeys
-        else:
-            if skeys.size == 0:
-                return empty
-            pidx = np.minimum(np.searchsorted(skeys, keys), skeys.size - 1)
-            keys = keys[skeys[pidx] == keys]
-        if keys.size == 0:
-            return empty
-    matched = np.unique(keys // PHRASE_POS_STRIDE)
+    )  # rarest term's slots first — running set shrinks fastest
+    matched = _verify_phrase(quads, slot_list)
+    if matched.size == 0:
+        return empty
 
     # 3. BM25 over the phrase's distinct terms, matched docs only
     decoded = {t: quads[t][:3] for t in terms}
@@ -1669,14 +1827,24 @@ class QueryEngine:
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    def topk_phrase(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+    def topk_phrase(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
         """Exact phrase top-k (requires a positional index —
         ``BuildConfig(positions=True)``).
 
         ``mode='distributed'``: pruned-scan + broadcast-join plan, one
-        kernel task per query.  ``mode='local'``: the driver-side
+        kernel task per query — right whenever the phrase has a rare
+        term (candidates bound the work).  ``n_shards > 1`` switches to
+        the doc-range-sharded plan (:meth:`topk_phrase_sharded`) that
+        parallelizes WITHIN a query — the plan for all-hot phrases at
+        10^12 docs, where even the rarest term's full posting list is
+        too big for one task.  ``mode='local'``: the driver-side
         serving path (pyarrow fetch + LRU term cache, no Spark job).
-        Both run :func:`phrase_query_kernel` — identical results."""
+        All paths are result-identical."""
         if not self.meta.get("positions", False):
             raise ValueError(
                 "phrase queries need an index built with BuildConfig(positions=True)"
@@ -1684,6 +1852,8 @@ class QueryEngine:
         qt_pdf = self._phrase_qt_rows(queries)
         if qt_pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if n_shards is not None and n_shards > 1:
+            return self.topk_phrase_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
             out = self._kernel_local(qt_pdf, phrase_query_kernel)
             if out.empty:
@@ -1711,6 +1881,66 @@ class QueryEngine:
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_phrase_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded phrase plan: slice every matching
+        segment's FOUR VByte streams (gaps/tfs/dls/positions) at block
+        boundaries per shard — byte-offset arithmetic only, each byte
+        shuffles once — then verify adjacency and score completely
+        inside each (query, shard) and window-merge the shard top-ks.
+        Exact because doc ranges partition the docs (a doc's postings
+        AND positions land in one shard) and a term missing from a
+        shard excludes every doc of that shard.  No task ever holds a
+        full hot-term posting list — the 10^12-doc phrase plan."""
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, n_terms int, slots array<int>",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        slice_schema = (
+            "query_id bigint, k int, n_terms int, slots array<int>, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(pdf, bounds)
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _phrase_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
 
     def topk_proximity(
         self, queries: pd.DataFrame, mode: str = "distributed"
@@ -2121,6 +2351,13 @@ class QueryEngine:
         partial = sliced.groupBy("query_id", "shard").applyInPandas(
             shard_kernel, schema=TOPK_SCHEMA
         )
+        return self._merge_shard_topk(partial, queries)
+
+    def _merge_shard_topk(self, partial: DataFrame, queries: pd.DataFrame) -> DataFrame:
+        """Global top-k from per-(query, shard) partials: one window
+        over n_shards * k tiny rows, honoring the tie margin (shard-kth
+        <= global kth, so margin extras always survive the merge)."""
+        margin = self.tie_margin
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         kdf = F.broadcast(
             self.spark.createDataFrame(
