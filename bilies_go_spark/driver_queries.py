@@ -1011,6 +1011,146 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- composed (bool) search ---------------------------------------------------
+# The ES bool-query surface the reference's users actually write
+# (/root/reference/README.md:8-11 delegates querying to Elasticsearch):
+# ONE query string mixing "quoted phrase" (MUST) + -term (MUST_NOT) +
+# term* (prefix SHOULD) + term~ (fuzzy SHOULD) + bare terms, evaluated
+# under a tenant (allowed-set) filter with GLOBAL scoring stats.  The
+# oracle composes the proven per-feature CTEs: strpos phrase
+# containment, NOT EXISTS exclusion, LIKE + levenshtein expansion, and
+# the allowed join.
+
+COMPOSED_QUERIES: list[tuple[int, str, int]] = [
+    (0, '"hash join" -dup', 10),                    # phrase + negation
+    (1, '"hash join" tab*', 10),                    # phrase + prefix boost
+    (2, "table -dup scan*", 10),                    # no phrase: OR + neg + prefix
+    (3, '"sort key" tble~', 10),                    # phrase + fuzzy boost
+    (4, '"spark window group" -zzzmissing quer*', 10),  # absent negation
+    (5, '"zzzmissing table" table', 10),            # unmatched phrase -> empty
+    (6, '"table table" -join', 10),                 # repeated-term phrase + neg
+    (7, "dup value", 10),                           # degenerate plain OR
+]
+
+
+def composed_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in COMPOSED_QUERIES],
+            "text": [q[1] for q in COMPOSED_QUERIES],
+            "k": [q[2] for q in COMPOSED_QUERIES],
+        }
+    )
+
+
+def bm25_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed bool search on the positional index, under the tenant
+    filter — must match the composed-CTE oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_composed(composed_queries_pdf(), allowed=_allowed_ids(sf_dir))
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            composed_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_composed_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    like_rows, fuzzy_rows, ph_rows, neg_rows, qn_rows = [], [], [], [], []
+    for qid, text, k in COMPOSED_QUERIES:
+        s = QueryEngine._parse_composed_query(text)
+        negset = set(s["neg"])
+        for t in sorted((set(s["should"]) | {t for p in s["phrases"] for t in p}) - negset):
+            like_rows.append(f"({qid}, '{t}', {k})")
+        for t in sorted(set(s["prefix"]) - negset):
+            like_rows.append(f"({qid}, '{t}%', {k})")
+        for t in sorted(set(s["fuzzy"])):
+            fuzzy_rows.append(f"({qid}, '{t}', {k})")
+        for t in sorted(negset):
+            neg_rows.append(f"({qid}, '{t}')")
+        for p in s["phrases"]:
+            ph_rows.append(f"({qid}, '{' '.join(p)}')")
+        qn_rows.append(f"({qid}, {len(s['phrases'])})")
+    # empty VALUES lists are a syntax error: pad with a never-matching row
+    fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0)"]
+    ph_rows = ph_rows or ["(-1, 'zzzdummy')"]
+    neg_rows = neg_rows or ["(-1, 'zzzdummy')"]
+    src_list = ", ".join(f"'{s}'" for s in FILTER_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tstr AS (
+  SELECT doc_id, ' ' || array_to_string({duck_tokens()}, ' ') || ' ' AS s
+  FROM documents
+),
+allowed AS (SELECT doc_id FROM documents WHERE source IN ({src_list})),
+ql(query_id, patt, k) AS (VALUES {", ".join(like_rows)}),
+qf(query_id, tok, k) AS (VALUES {", ".join(fuzzy_rows)}),
+ph(query_id, phrase) AS (VALUES {", ".join(ph_rows)}),
+nq(query_id, term) AS (VALUES {", ".join(neg_rows)}),
+qn(query_id, n_phrases) AS (VALUES {", ".join(qn_rows)}),
+qe AS (
+  SELECT DISTINCT query_id, term, k FROM (
+    SELECT q.query_id, ts.term, q.k FROM ql q JOIN ts ON ts.term LIKE q.patt
+    UNION ALL
+    SELECT q.query_id, ts.term, q.k
+    FROM qf q JOIN ts ON levenshtein(q.tok, ts.term) <= 1
+  ) u
+),
+pm AS (
+  SELECT ph.query_id, d.doc_id
+  FROM ph JOIN tstr d ON strpos(d.s, ' ' || ph.phrase || ' ') > 0
+  GROUP BY 1, 2
+  HAVING count(DISTINCT ph.phrase) = (
+    SELECT count(DISTINCT phrase) FROM ph p2 WHERE p2.query_id = ph.query_id
+  )
+),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN allowed a ON a.doc_id = p.doc_id
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN qn ON qn.query_id = qe.query_id
+  CROSS JOIN st
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nq JOIN post np ON np.term = nq.term AND np.doc_id = p.doc_id
+    WHERE nq.query_id = qe.query_id
+  )
+  AND (qn.n_phrases = 0 OR EXISTS (
+    SELECT 1 FROM pm WHERE pm.query_id = qe.query_id AND pm.doc_id = p.doc_id
+  ))
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- faceted search counts ----------------------------------------------------
 # The search-engine facet panel: for each (conjunctive) query, matching
 # doc counts per facet value — the index supplies the match SET
@@ -1353,7 +1493,7 @@ def events_sessionized_oracle() -> str:
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     return f"""
 WITH e AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - epoch_us(
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               ) >= {gap_us} OR
@@ -1364,7 +1504,7 @@ WITH e AS (
 s AS (
   SELECT user_id, ts, value,
          sum(new_session) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_id
   FROM e
@@ -1531,6 +1671,10 @@ def registry() -> dict[str, tuple]:
         # leading-- negation (MUST_NOT): exclusion folded into the doc
         # mask; oracle = NOT EXISTS over the negated terms' postings
         "bm25_topk_boolean": (bm25_boolean, bm25_boolean_oracle_sql()),
+        # composed bool search: phrase + MUST_NOT + prefix + fuzzy +
+        # allowed filter in ONE query string (the ES bool request);
+        # oracle composes the per-feature CTEs
+        "bm25_topk_composed": (bm25_composed, bm25_composed_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

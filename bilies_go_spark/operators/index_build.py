@@ -460,7 +460,7 @@ def build_segments(
                 .withColumn("term_bucket", term_bucket_col("term", cfg.n_buckets))
                 .filter(F.col("term_bucket").isin(bucket_ids))
             )
-            runs = _purge_tombstones(spark, paths, runs)
+            runs = _purge_tombstones(spark, paths, lineage, runs)
             tstats = runs.groupBy("term_bucket", "term").agg(
                 F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
@@ -655,17 +655,22 @@ def build_index(
     return paths
 
 
-def _purge_tombstones(spark: SparkSession, paths: IndexPaths, runs: DataFrame) -> DataFrame:
+def _purge_tombstones(
+    spark: SparkSession, paths: IndexPaths, lineage: Lineage, runs: DataFrame
+) -> DataFrame:
     """FULL segment builds physically exclude tombstoned docs (the
-    Lucene merge-purge): anti-join the runs stream against the live
-    delete batches.  The pointer flip that publishes the build retires
-    those batches in the same rename, so per-term df is never
-    double-subtracted (base already net + negative delta would be).
-    The delete set between compactions is small by contract
-    (operators/deletes.py), hence the broadcast."""
-    from bilies_go_spark.operators.deletes import read_deleted_ids
+    Lucene merge-purge): anti-join the runs stream against every
+    ledger-ACKED delete batch — not just pointer-live ones.  The runs
+    table is append-only and keeps deleted docs forever, so excluding
+    only live batches would RESURRECT docs purged by an earlier
+    compaction (its pointer flip cleared the deletes list).  The
+    pointer flip that publishes this build retires the live batches in
+    the same rename, so per-term df is never double-subtracted (base
+    already net + negative delta would be).  The delete set is small
+    by contract (operators/deletes.py), hence the broadcast."""
+    from bilies_go_spark.operators.deletes import read_acked_deleted_ids
 
-    ids = read_deleted_ids(paths)
+    ids = read_acked_deleted_ids(paths, lineage)
     if ids.size == 0:
         return runs
     dd = spark.createDataFrame(
@@ -680,8 +685,19 @@ def publish_full_view(
     """After a FULL segment build at ``paths.gen`` covering every runs
     part: mark all parts folded, then atomically point readers at
     (this generation, no tiers, no live tombstones — the build purged
-    them physically — and these stats)."""
+    them physically — and these stats).  Every acked delete batch is
+    marked published here: the purge retired them all, including any
+    acked-but-never-published batch a crash left behind (its docs were
+    purged too, so re-publishing it later would double-subtract df)."""
+    from bilies_go_spark.operators.deletes import (
+        acked_delete_batches,
+        published_delete_batches,
+    )
+
     mark_folded(spark, lineage, pending_folds(spark, lineage))
+    unpub = sorted(set(acked_delete_batches(lineage)) - published_delete_batches(lineage))
+    if unpub:
+        lineage.ack(spark, "del_published", [{"part": b} for b in unpub])
     paths.write_current({"gen": paths.gen, "tiers": [], "deletes": [], "stats": stats})
 
 

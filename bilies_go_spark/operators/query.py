@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -178,10 +179,21 @@ def _score_shard(
     )
 
 
-def _slice_segments_by_shard_pos(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame | None:
+def _slice_segments_by_shard_pos(
+    pdf: pd.DataFrame,
+    bounds: np.ndarray,
+    extra_cols: tuple[str, ...] = ("n_terms", "slots"),
+) -> pd.DataFrame | None:
     """Positional twin of :func:`_slice_segments_by_shard`: also cuts
     the positions stream at the same block boundaries (block_pos_off)
-    and carries the phrase columns (n_terms, slots) through."""
+    and carries the per-query kernel columns (``extra_cols`` — phrase:
+    n_terms+slots, proximity: n_terms+slop) through."""
+
+    def _conv(v):
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return [int(x) for x in v]
+        return int(v)
+
     out = []
     n_shards = len(bounds) - 1
     for row in pdf.itertuples(index=False):
@@ -218,8 +230,7 @@ def _slice_segments_by_shard_pos(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.Da
                 (
                     int(row.query_id),
                     int(row.k),
-                    int(row.n_terms),
-                    [int(x) for x in row.slots],
+                    *(_conv(getattr(row, c)) for c in extra_cols),
                     row.term,
                     int(row.df),
                     sh,
@@ -235,50 +246,32 @@ def _slice_segments_by_shard_pos(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.Da
     return pd.DataFrame(
         out,
         columns=[
-            "query_id", "k", "n_terms", "slots", "term", "df", "shard",
+            "query_id", "k", *extra_cols, "term", "df", "shard",
             "base_doc", "doc_gaps_vb", "tfs_vb", "dls_vb", "positions_vb",
         ],
     )
 
 
-def _phrase_shard(
-    pdf: pd.DataFrame,
-    lo: int,
-    hi: int,
-    k1: float,
-    b: float,
-    n_docs: int,
-    avgdl: float,
-    deleted=None,
-    tie_margin: float = 0.0,
-) -> pd.DataFrame:
-    """Phrase scoring for one (query, shard): decode every slice with
-    positions, keep docs in [lo, hi), verify adjacency, fold, shard
-    top-k.  Exact under the doc-range partition: every posting (and
-    position) of a doc lands in its shard, and a term with no postings
-    in the shard means no doc of the shard can contain the phrase."""
+def _decode_pos_shard(pdf: pd.DataFrame, lo: int, hi: int, n_docs: int, deleted):
+    """Decode every positional slice of one (query, shard) into
+    per-term (ids, tfs, dls, pos) quads restricted to [lo, hi).
+    Returns (terms, per_term, quads), or None when any expected query
+    term has no live postings inside the shard — a doc of the shard
+    then cannot contain all terms, so the caller emits nothing (exact:
+    doc ranges partition the docs, so every posting AND position of a
+    doc lands in exactly this shard)."""
     from bilies_go_spark.operators.codec import _restore_positions, vbyte_decode
 
-    empty = pd.DataFrame(
-        {"query_id": [], "rank": [], "doc_id": [], "score": []}
-    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
-    if pdf.empty:
-        return empty
-    qid = int(pdf["query_id"].iloc[0])
-    k = int(pdf["k"].iloc[0])
     n_expected = int(pdf["n_terms"].iloc[0])
     terms = sorted(pdf["term"].unique())
     if len(terms) < n_expected:
-        return empty
+        return None
     per_term, quads = {}, {}
-    e = np.empty(0, dtype=np.int64)
-    for term in terms:
-        rows = pdf[pdf["term"] == term]
+    for term, rows in pdf.groupby("term", sort=True):
         dfreq = int(rows["df"].iloc[0])
         per_term[term] = {
             "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
-            "slots": [int(x) for x in rows["slots"].iloc[0]],
         }
         parts = []
         for r in rows.itertuples(index=False):
@@ -297,16 +290,93 @@ def _phrase_shard(
             parts.append(_alive_quad(quad, deleted))
         parts = [p for p in parts if p[0].size]
         if not parts:
-            return empty  # term absent in shard -> no phrase match here
+            return None  # term absent in shard -> no match in this shard
         quads[term] = (
             parts[0]
             if len(parts) == 1
             else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
         )
+    return terms, per_term, quads
+
+
+def _phrase_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Phrase scoring for one (query, shard): decode every slice with
+    positions, keep docs in [lo, hi), verify adjacency, fold, shard
+    top-k.  Exact under the doc-range partition: every posting (and
+    position) of a doc lands in its shard, and a term with no postings
+    in the shard means no doc of the shard can contain the phrase."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    dec = _decode_pos_shard(pdf, lo, hi, n_docs, deleted)
+    if dec is None:
+        return empty
+    terms, per_term, quads = dec
+    slots_map = {t: [int(x) for x in pdf[pdf["term"] == t]["slots"].iloc[0]] for t in terms}
     slot_list = sorted(
-        (per_term[t]["df"], off, t) for t in terms for off in per_term[t]["slots"]
+        (per_term[t]["df"], off, t) for t in terms for off in slots_map[t]
     )
     matched = _verify_phrase(quads, slot_list)
+    if matched.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def _proximity_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Proximity scoring for one (query, shard): decode every slice
+    with positions, keep docs in [lo, hi), run the minimal-covering-
+    window sweep, fold, shard top-k.  Shard-exact for the same reason
+    as :func:`_phrase_shard`: the sweep is doc-local and a doc's
+    positions all live in its shard."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    dec = _decode_pos_shard(pdf, lo, hi, n_docs, deleted)
+    if dec is None:
+        return empty
+    terms, per_term, quads = dec
+    matched = _min_window_matched(quads, terms, slop)
     if matched.size == 0:
         return empty
     decoded = {t: quads[t][:3] for t in terms}
@@ -507,6 +577,17 @@ def _topk_select(doc: np.ndarray, acc: np.ndarray, k: int, tie_margin: float = 0
     return idx[order]
 
 
+#: disjunctions wider than this skip block-max pruning and decode
+#: exhaustively: the pruner's survival pass is O(terms^2 · runs) in
+#: range-max probes (every block bounds against every other term), so a
+#: wide prefix/fuzzy expansion ("to*" -> thousands of terms) would spend
+#: far more on bounds than the decodes they could skip — and with
+#: thousands of terms matching most docs, pruning can't skip much
+#: anyway.  Lucene's answer is the same: multi-term queries REWRITE out
+#: of scored-boolean evaluation instead of running per-clause maxima.
+MAX_PRUNE_TERMS = 64
+
+
 def score_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -553,7 +634,7 @@ def score_query_kernel(
         per_term[term] = {"idf": idf, "runs": runs, "ubs": ubs}
         stats.blocks_total += sum(len(u) for u in ubs)
 
-    if prune and len(terms) > 1:
+    if prune and 1 < len(terms) <= MAX_PRUNE_TERMS:
         cand, decoded = _pruned_candidates(
             per_term, terms, k, avgdl, k1, b, stats, tie_margin=tie_margin, deleted=deleted
         )
@@ -950,6 +1031,45 @@ def phrase_query_kernel(
     )
 
 
+def _min_window_matched(quads: dict, terms: list[str], slop: int) -> np.ndarray:
+    """Docs where ALL ``terms`` co-occur within a token window of span
+    <= ``slop``: the vectorized minimal-covering-window sweep.  With
+    per-term sorted (doc·2^21 + pos) key arrays, every term occurrence
+    is an anchor; for anchor key a, each term's latest occurrence <= a
+    in the same doc (one searchsorted per term) gives the minimal
+    window ending at a — the doc matches iff some anchor's window span
+    is <= slop.  Exact because the right edge of a minimal covering
+    window is itself a term occurrence.  Shared by the per-query
+    proximity kernel and the doc-range-sharded plan (the sweep is
+    doc-local, so shard-exactness is free)."""
+    keys_by_term = {}
+    for t in terms:
+        ids, tfs, _dls, pos = quads[t]
+        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    anchors = np.concatenate(list(keys_by_term.values()))
+    anchors.sort()
+    a_doc = anchors // PHRASE_POS_STRIDE
+    ok = np.ones(anchors.size, dtype=bool)
+    win_start = anchors % PHRASE_POS_STRIDE  # anchor's own term trivially <= a
+    for t in terms:
+        kt = keys_by_term[t]
+        idx = np.searchsorted(kt, anchors, side="right") - 1
+        valid = idx >= 0
+        pred = kt[np.maximum(idx, 0)]
+        same = valid & (pred // PHRASE_POS_STRIDE == a_doc)
+        ok &= same
+        win_start = np.minimum(win_start, np.where(same, pred % PHRASE_POS_STRIDE, 0))
+    span = (anchors % PHRASE_POS_STRIDE) - win_start
+    hit = ok & (span <= slop)
+    if not hit.any():
+        return np.empty(0, dtype=np.int64)
+    return np.unique(a_doc[hit])
+
+
 def proximity_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -1011,34 +1131,177 @@ def proximity_query_kernel(
     if cand.size == 0:
         return empty
 
-    # minimal-covering-window sweep over candidate docs
-    keys_by_term = {}
-    for t in terms:
-        ids, tfs, _dls, pos = quads[t]
-        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
-        kt.sort()
-        keys_by_term[t] = kt
-    anchors = np.concatenate(list(keys_by_term.values()))
-    anchors.sort()
-    a_doc = anchors // PHRASE_POS_STRIDE
-    ok = np.ones(anchors.size, dtype=bool)
-    win_start = anchors % PHRASE_POS_STRIDE  # anchor's own term trivially <= a
-    for t in terms:
-        kt = keys_by_term[t]
-        idx = np.searchsorted(kt, anchors, side="right") - 1
-        valid = idx >= 0
-        pred = kt[np.maximum(idx, 0)]
-        same = valid & (pred // PHRASE_POS_STRIDE == a_doc)
-        ok &= same
-        win_start = np.minimum(win_start, np.where(same, pred % PHRASE_POS_STRIDE, 0))
-    span = (anchors % PHRASE_POS_STRIDE) - win_start
-    hit = ok & (span <= slop)
-    if not hit.any():
+    # minimal-covering-window sweep over candidate docs only
+    matched = _min_window_matched(quads, terms, slop)
+    if matched.size == 0:
         return empty
-    matched = np.unique(a_doc[hit])
 
     decoded = {t: quads[t][:3] for t in terms}
     doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def composed_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    prune: bool = True,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """The Lucene/ES ``bool``-query composition in ONE kernel — the
+    request shape the reference's users actually send to Elasticsearch
+    (/root/reference/README.md:8-11 delegates all querying to ES, whose
+    bool query freely mixes clause types): MUST phrases + MUST_NOT
+    terms + SHOULD scoring terms (prefix/fuzzy expansions arrive
+    pre-expanded) + an optional allowed-set filter, evaluated on one
+    candidate pipeline.
+
+    Composition of the proven pieces, in filter-first order:
+
+    1. MUST_NOT terms decode and fold into the :class:`DocSetFilter`
+       tombstone side (the boolean kernel's move) — every later decode
+       masks them, so pruning and candidacy stay rank-safe;
+    2. each MUST phrase runs the conjunctive-candidate + slot-
+       intersection verification (the phrase kernel's move) under that
+       filter; multi-phrase queries intersect their match sets;
+    3. scoring: BM25 over the DISTINCT scoring terms (phrase terms +
+       SHOULD terms).  With phrases, only candidate-bearing blocks of
+       the scoring terms decode (cost bounded by the candidate set);
+       without phrases, the standard block-max pruned OR kernel runs
+       with the exclusion-augmented filter.
+
+    Eligibility: (all phrases) AND (no negated term) AND (in the
+    allowed set) AND (>=1 scoring term — implied when phrases exist).
+    Score: Σ over scoring terms present, same pinned ascending-term
+    float64 fold as every other kernel.
+
+    Expects per-row ``neg`` (0/1 — MUST_NOT terms) and a constant
+    ``qspec`` JSON column ``{"phrases": [[tok,..], ..]}`` (phrases
+    only: SHOULD expansions can run to thousands of terms, so roles
+    ride per-row, never duplicated into every row's JSON); ``pdf``
+    carries segment rows for every involved term that has postings.
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    spec = json.loads(pdf["qspec"].iloc[0])
+    phrases = [list(p) for p in spec.get("phrases", []) if p]
+    stats = stats if stats is not None else KernelStats()
+
+    per_term: dict[str, dict] = {}
+    neg: set[str] = set()
+    # single groupby pass (wide expansions make per-term boolean
+    # filtering quadratic in the term count)
+    for term, rows in pdf.groupby("term", sort=False):
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": [row_to_segment(r) for _, r in rows.iterrows()],
+        }
+        if int(rows["neg"].iloc[0]):
+            neg.add(term)
+        stats.blocks_total += sum(
+            len(seg.block_last_doc_id) for seg in per_term[term]["runs"]
+        )
+    sterms = sorted(t for t in per_term if t not in neg)
+    if not sterms:
+        return empty
+
+    # 1. MUST_NOT -> exclusion ids on the filter's tombstone side
+    flt = deleted if isinstance(deleted, DocSetFilter) else DocSetFilter(deleted, None)
+    excl_parts = []
+    for t in sorted(neg):
+        if t in per_term:
+            ids, _, _ = _decode_term_runs(per_term[t]["runs"], None, deleted=None)
+            stats.blocks_decoded += sum(
+                len(seg.block_last_doc_id) for seg in per_term[t]["runs"]
+            )
+            if ids.size:
+                excl_parts.append(ids)
+    if excl_parts:
+        excl = np.unique(np.concatenate(excl_parts))
+        tomb = excl if flt.deleted is None else np.union1d(flt.deleted, excl)
+        flt = DocSetFilter(tomb, flt.allowed)
+
+    # 2. MUST phrases -> intersected candidate set
+    cand: np.ndarray | None = None
+    reuse: dict[str, tuple] = {}
+    for p in phrases:
+        pterms = sorted(set(p))
+        if any(t not in per_term for t in pterms):
+            return empty  # a phrase term matches no document
+        if not all(
+            seg.has_positions for t in pterms for seg in per_term[t]["runs"]
+        ):
+            raise ValueError(
+                "composed phrase clauses need an index built with "
+                "BuildConfig(positions=True)"
+            )
+        c_p, quads = _positional_candidates(per_term, pterms, stats, flt)
+        if c_p.size == 0:
+            return empty
+        slots: dict[str, list[int]] = {}
+        for j, t in enumerate(p):
+            slots.setdefault(t, []).append(j)
+        slot_list = sorted(
+            (per_term[t]["df"], off, t) for t, offs in slots.items() for off in offs
+        )
+        matched = _verify_phrase(quads, slot_list)
+        if matched.size == 0:
+            return empty
+        if len(phrases) == 1:
+            reuse = {t: quads[t] for t in pterms}  # decoded once, reused in 3
+        cand = matched if cand is None else np.intersect1d(cand, matched, assume_unique=True)
+        if cand.size == 0:
+            return empty
+
+    # 3. scoring
+    if cand is None:  # no phrase clause: pruned OR kernel + the filter
+        return score_query_kernel(
+            pdf[pdf["neg"] == 0],
+            k1, b, n_docs, avgdl,
+            prune=prune, stats=stats, tie_margin=tie_margin, deleted=flt,
+        )
+    e = np.empty(0, dtype=np.int64)
+    decoded = {}
+    for t in sterms:
+        if t in reuse:
+            decoded[t] = _restrict_quad(reuse[t], cand)[:3]
+            continue
+        parts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                parts.append(_alive_triple(decode_masked(seg, mask), flt))
+                stats.blocks_decoded += int(mask.sum())
+        parts = [x for x in parts if x[0].size]
+        decoded[t] = (
+            (e, e, e)
+            if not parts
+            else parts[0]
+            if len(parts) == 1
+            else tuple(np.concatenate([x[i] for x in parts]) for i in range(3))
+        )
+    doc, acc = _merge_accumulate(decoded, per_term, sterms, avgdl, k1, b, cand=cand)
     if doc.size == 0:
         return empty
     sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
@@ -1424,8 +1687,9 @@ class _SegmentCache:
 
 
 class _ContribCache:
-    """Byte-capped LRU: term -> DENSE per-doc BM25 contribution array
-    (``arr[doc_id] = idf(term) * tf_norm(tf, dl)``, float64).
+    """Byte-capped FILL-ONCE cache (no eviction): term -> DENSE per-doc
+    BM25 contribution array (``arr[doc_id] = idf(term) * tf_norm(tf,
+    dl)``, float64).
 
     The serving-path answer to stopword-class queries, where block-max
     pruning is structurally useless (every 128-doc block of a uniform
@@ -1943,13 +2207,20 @@ class QueryEngine:
         return self._merge_shard_topk(partial, queries)
 
     def topk_proximity(
-        self, queries: pd.DataFrame, mode: str = "distributed"
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
     ) -> DataFrame:
         """Unordered proximity top-k (positional index): docs where all
         query terms occur within a token window of span <= ``slop``
         (per-query column).  Same plan/modes as :meth:`topk_phrase`;
         the kernel sweeps minimal covering windows over the candidate
-        positions (:func:`proximity_query_kernel`)."""
+        positions (:func:`proximity_query_kernel`).  ``n_shards > 1``
+        switches to the doc-range-sharded plan
+        (:meth:`topk_proximity_sharded`) — the plan for all-hot
+        proximity at 10^12 docs, where even the rarest term's full
+        posting list is too big for one task."""
         from bilies_go_spark.functions.tokenize import tokenize_py
 
         if not self.meta.get("positions", False):
@@ -1964,6 +2235,8 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
+        if n_shards is not None and n_shards > 1:
+            return self.topk_proximity_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
             out = self._kernel_local(qt_pdf, proximity_query_kernel)
             if out.empty:
@@ -1991,6 +2264,70 @@ class QueryEngine:
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_proximity_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded proximity plan: slice every matching
+        segment's FOUR VByte streams (gaps/tfs/dls/positions) at block
+        boundaries per shard — byte-offset arithmetic only, each byte
+        shuffles once — then run the minimal-covering-window sweep and
+        score completely inside each (query, shard) and window-merge
+        the shard top-ks.  Exact because doc ranges partition the docs
+        (a doc's postings AND positions land in one shard) and the
+        sweep is doc-local.  No task ever holds a full hot-term posting
+        list — closing the one scale gap phrase's sharded plan already
+        closed (an all-hot proximity query at 10^12 docs no longer
+        funnels the rarest term's full posting list into one task)."""
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, n_terms int, slop int",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        slice_schema = (
+            "query_id bigint, k int, n_terms int, slop int, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(
+                    pdf, bounds, extra_cols=("n_terms", "slop")
+                )
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _proximity_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
 
     def match_ids(
         self, queries: pd.DataFrame, allowed: "np.ndarray | None" = None
@@ -2278,6 +2615,158 @@ class QueryEngine:
         return self._topk_expanded(
             pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
         )
+
+    # -- composed (bool) queries -----------------------------------------------
+
+    _PHRASE_RE = re.compile(r'"([^"]*)"')
+
+    @staticmethod
+    def _parse_composed_query(text: str) -> dict:
+        """Lucene-bool-style mini-language, one string:
+
+        * ``"quoted tokens"``  -> MUST phrase clause (positional)
+        * ``-tok``             -> MUST_NOT term
+        * ``tok*``             -> prefix expansion (SHOULD)
+        * ``tok~``             -> fuzzy (Levenshtein<=1) expansion (SHOULD)
+        * bare tokens          -> SHOULD terms (scoring)
+
+        Returns ``{"phrases", "should", "prefix", "fuzzy", "neg"}`` of
+        analyzer-normalized tokens.  Negated phrases are rejected (not
+        supported)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        if re.search(r'-\s*"', " " + text):
+            raise ValueError("negated phrase clauses are not supported")
+        phrases: list[list[str]] = []
+
+        def _grab(m):
+            toks = tokenize_py(m.group(1))
+            if toks:
+                phrases.append(toks)
+            return " "
+
+        rest = QueryEngine._PHRASE_RE.sub(_grab, text)
+        should: list[str] = []
+        neg: list[str] = []
+        prefix: list[str] = []
+        fuzzy: list[str] = []
+        for piece in rest.split():
+            if piece.startswith("-"):
+                toks = tokenize_py(piece[1:])
+                if len(toks) != 1:
+                    raise ValueError(f"negated piece {piece!r} is not a single term")
+                neg.append(toks[0])
+            elif piece.endswith("*"):
+                toks = tokenize_py(piece[:-1])
+                if len(toks) != 1:
+                    raise ValueError(f"prefix piece {piece!r} is not a single term")
+                prefix.append(toks[0])
+            elif piece.endswith("~"):
+                toks = tokenize_py(piece[:-1])
+                if len(toks) != 1:
+                    raise ValueError(f"fuzzy piece {piece!r} is not a single term")
+                fuzzy.append(toks[0])
+            else:
+                should.extend(tokenize_py(piece))
+        return {
+            "phrases": phrases,
+            "should": should,
+            "prefix": prefix,
+            "fuzzy": fuzzy,
+            "neg": neg,
+        }
+
+    def topk_composed(
+        self,
+        queries: pd.DataFrame,
+        allowed: "np.ndarray | None" = None,
+        mode: str = "distributed",
+    ) -> DataFrame:
+        """Composed search: ONE query string mixing phrase + MUST_NOT +
+        prefix + fuzzy + bare terms, optionally under an allowed-set
+        filter — the ES ``bool`` request surface the reference's users
+        write, served by :func:`composed_query_kernel`.
+
+        Expansion (prefix dictionary range scan, fuzzy SymSpell join)
+        happens once per batch up front; the plan is then the standard
+        pruned-scan + broadcast-join with one kernel task per query
+        (``mode='local'``: the driver-side serving path through the LRU
+        term cache).  Phrase clauses need a positional index."""
+        parsed = {
+            int(r.query_id): self._parse_composed_query(r.text)
+            for r in queries.itertuples(index=False)
+        }
+        all_prefix = sorted({p for s in parsed.values() for p in s["prefix"]})
+        all_fuzzy = sorted({f for s in parsed.values() for f in s["fuzzy"]})
+        pre_exp = self.expand_prefixes(all_prefix) if all_prefix else {}
+        fuz_exp = self.expand_fuzzy(all_fuzzy) if all_fuzzy else {}
+        rows = []
+        any_phrase = False
+        for r in queries.itertuples(index=False):
+            s = parsed[int(r.query_id)]
+            negs = sorted(set(s["neg"]))
+            should = set(s["should"])
+            for p in s["prefix"]:
+                should.update(pre_exp.get(p, []))
+            for f_ in s["fuzzy"]:
+                should.update(fuz_exp.get(f_, []))
+            should -= set(negs)  # a term both scored and negated: negation wins
+            # qspec carries ONLY the phrases: SHOULD expansions can run
+            # to thousands of terms, and a per-row JSON copy of them
+            # would blow the broadcast up quadratically
+            spec = json.dumps({"phrases": s["phrases"]}, sort_keys=True)
+            if s["phrases"]:
+                any_phrase = True
+            involved = sorted(should | set(negs) | {t for p in s["phrases"] for t in p})
+            negset = set(negs)
+            for t in involved:
+                rows.append((int(r.query_id), t, int(r.k), int(t in negset), spec))
+        if any_phrase and not self.meta.get("positions", False):
+            raise ValueError(
+                "composed queries with phrase clauses need an index built "
+                "with BuildConfig(positions=True)"
+            )
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "neg", "qspec"])
+        flt = self._doc_filter(
+            None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
+        )
+        if mode == "local":
+            def kfn(pdf, k1, b, n_docs, avgdl, tie_margin=0.0, deleted=None):
+                # the combined (tombstones + allowed) filter replaces the
+                # plain tombstone array _kernel_local passes by default
+                return composed_query_kernel(
+                    pdf, k1, b, n_docs, avgdl, tie_margin=tie_margin, deleted=flt
+                )
+
+            out = self._kernel_local(qt_pdf, kfn)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int, neg int, qspec string"
+        )
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
+        margin = self.tie_margin
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return composed_query_kernel(
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=flt
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
     # -- doc-range-sharded distributed path ------------------------------------
 

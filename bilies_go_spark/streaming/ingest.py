@@ -260,12 +260,31 @@ def compact_tiered(
         keep = [t for t in cur["tiers"] if not t.get("parts")]
     parts = sorted(set(pending) | {p for t in merge for p in t["parts"]})
     tier = hashlib.md5("\x00".join(parts).encode()).hexdigest()[:12]
+    # crash-replay guard: if a previous run published this tier but
+    # died before mark_folded, the re-run sees the same pending parts,
+    # hashes to the SAME tier id — and that id may already sit in the
+    # keep list.  Drop it before re-appending, or readers would union
+    # the tier's segments twice (df and postings double-counted).
+    keep = [t for t in keep if t["id"] != tier]
     runs_delta = (
         spark.read.schema(cfg.runs_schema)
         .parquet(paths.runs)
         .filter(F.col("build_part").isin(parts))
         .drop("build_part")
     )
+    # docs deleted while their part was still pending have no negative
+    # df delta (deletes.py: delta_counted=false) — drop them physically
+    # as the part folds so they never acquire a positive df either
+    from bilies_go_spark.operators.deletes import read_uncounted_deleted_ids
+
+    unc = read_uncounted_deleted_ids(paths, lineage)
+    if unc.size:
+        import pandas as pd
+
+        dd = spark.createDataFrame(
+            pd.DataFrame({"doc_id": unc.astype("int64")}), schema="doc_id bigint"
+        )
+        runs_delta = runs_delta.join(F.broadcast(dd), "doc_id", "left_anti")
     with StageTimer() as t:
         encode_segments(
             spark, runs_delta, paths.tier_segments(tier), paths.tier_term_stats(tier), cfg

@@ -1,0 +1,191 @@
+"""Composed (bool) queries: ONE query string mixing "quoted phrase"
+(MUST) + -term (MUST_NOT) + term* (prefix) + term~ (fuzzy) + bare
+SHOULD terms, optionally under an allowed-set filter — evaluated by
+query.composed_query_kernel against a pure-Python brute reference, with
+local == distributed pinned and the error surface checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bilies_go_spark import B_DEFAULT, K1_DEFAULT
+from bilies_go_spark.functions.tokenize import tokenize_py
+from bilies_go_spark.operators.index_build import BuildConfig, build_index
+from bilies_go_spark.operators.query import QueryEngine
+
+KEY = ["query_id", "rank"]
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _brute_composed(
+    corpus_pdf: pd.DataFrame,
+    queries: pd.DataFrame,
+    allowed=None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> pd.DataFrame:
+    """Reference evaluator: eligibility = all phrases contiguous AND no
+    negated term AND in the allowed set; score = BM25 over the distinct
+    scoring terms (bare + prefix/fuzzy expansions + phrase terms),
+    ascending-term pinned fold; GLOBAL stats regardless of the filter."""
+    toks = {int(r.doc_id): tokenize_py(r.text) for r in corpus_pdf.itertuples(index=False)}
+    toks = {d: t for d, t in toks.items() if t}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    vocab = set(df)
+    allowed_set = None if allowed is None else set(int(x) for x in allowed)
+    out = []
+    for q in queries.itertuples(index=False):
+        s = QueryEngine._parse_composed_query(q.text)
+        negs = set(s["neg"])
+        should = set(s["should"])
+        for p_ in s["prefix"]:
+            should |= {v for v in vocab if v.startswith(p_)}
+        for f_ in s["fuzzy"]:
+            should |= {v for v in vocab if _lev_le1(f_, v)}
+        sterms = sorted((should | {t for p in s["phrases"] for t in p}) - negs)
+        scored = []
+        for d, t in toks.items():
+            if allowed_set is not None and d not in allowed_set:
+                continue
+            if negs & set(t):
+                continue
+            if not all(
+                any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
+                for p in s["phrases"]
+            ):
+                continue
+            score = 0.0
+            for term in sterms:
+                tf = t.count(term)
+                if tf == 0 or term not in df:
+                    continue
+                idf = np.log1p((n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                score += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(t) / avgdl))
+                )
+            if score > 0.0:
+                scored.append((d, score))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, sc) in enumerate(scored[: int(q.k)], 1):
+            out.append((int(q.query_id), rank, d, sc))
+    return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, small_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("composed_idx"))
+    cfg = BuildConfig(
+        n_buckets=8, block_size=32, target_postings_per_salt=200, positions=True
+    )
+    build_index(spark, small_corpus, d, cfg)
+    return d
+
+
+COMPOSED = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5, 6],
+        "text": [
+            '"the of" -water',          # phrase + negation
+            '"the of" wa*',             # phrase + prefix boost
+            "water -the sa*",           # no phrase: OR + neg + prefix
+            '"of the" watr~',           # phrase + fuzzy boost
+            "the water",                # degenerate plain OR
+            '"zzqx the" the',           # unmatched phrase -> empty
+            '"the the" -of wor*',       # repeated-term phrase + neg + prefix
+        ],
+        "k": [10, 10, 10, 10, 10, 10, 10],
+    }
+)
+
+
+def _assert_same_topk(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got.sort_values(KEY).reset_index(drop=True)
+    exp = exp.sort_values(KEY).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["query_id"].to_numpy() == exp["query_id"].to_numpy()).all()
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+
+
+def test_composed_matches_brute_and_local_equals_distributed(
+    spark, small_corpus, pos_idx
+):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_composed(corpus_pdf, COMPOSED)
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(COMPOSED).toPandas()
+    _assert_same_topk(dist, exp)
+    loc = eng.topk_composed(COMPOSED, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+    # the fixture must exercise non-trivial results for the phrase+neg
+    # and expansion queries, and emptiness for the unmatched phrase
+    per_q = exp.groupby("query_id").size()
+    assert per_q.get(0, 0) > 0 and per_q.get(1, 0) > 0 and per_q.get(2, 0) > 0
+    assert per_q.get(5, 0) == 0
+
+
+def test_composed_with_allowed_filter(spark, small_corpus, pos_idx):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    allowed = np.sort(corpus_pdf["doc_id"].to_numpy()[::2]).astype(np.int64)
+    exp = _brute_composed(corpus_pdf, COMPOSED, allowed=allowed)
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(COMPOSED, allowed=allowed).toPandas()
+    _assert_same_topk(dist, exp)
+    loc = eng.topk_composed(COMPOSED, allowed=allowed, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+    assert len(exp) > 0
+
+
+def test_composed_error_surface(spark, small_corpus, pos_idx, tmp_path):
+    eng = QueryEngine(spark, pos_idx)
+    with pytest.raises(ValueError, match="negated phrase"):
+        eng.topk_composed(
+            pd.DataFrame({"query_id": [0], "text": ['-"the of"'], "k": [5]})
+        )
+    # phrase clause against a positions-free index must raise
+    d = str(tmp_path / "nopos_idx")
+    build_index(
+        spark,
+        small_corpus,
+        d,
+        BuildConfig(n_buckets=8, block_size=32, target_postings_per_salt=200),
+    )
+    with pytest.raises(ValueError, match="positions"):
+        QueryEngine(spark, d).topk_composed(
+            pd.DataFrame({"query_id": [0], "text": ['"the of"'], "k": [5]})
+        )
+    # ...but phrase-free composed queries work on any index
+    got = QueryEngine(spark, d).topk_composed(
+        pd.DataFrame({"query_id": [0], "text": ["water -the"], "k": [5]})
+    ).toPandas()
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_composed(
+        corpus_pdf,
+        pd.DataFrame({"query_id": [0], "text": ["water -the"], "k": [5]}),
+    )
+    _assert_same_topk(got, exp)

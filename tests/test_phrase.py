@@ -386,6 +386,22 @@ def test_phrase_sharded_equals_distributed(spark, pos_index_dir):
     assert len(dist)
 
 
+def test_proximity_sharded_equals_distributed(spark, pos_index_dir):
+    """The doc-range-sharded proximity plan (positions sliced at block
+    boundaries, per-shard minimal-covering-window sweep, window merge)
+    is result-identical to the one-task-per-query plan — the shard gate
+    that proves no task needs a full hot-term posting list."""
+    eng = QueryEngine(spark, pos_index_dir)
+    dist = eng.topk_proximity(PROX).toPandas()
+    for n_shards in (3, 8):
+        shard = eng.topk_proximity(PROX, n_shards=n_shards).toPandas()
+        key = ["query_id", "rank"]
+        a = shard.sort_values(key).reset_index(drop=True)
+        b = dist.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=f"n_shards={n_shards}")
+    assert len(dist)
+
+
 def test_boolean_negation_matches_brute(spark, small_corpus, pos_index_dir):
     """topk_boolean: OR of positive terms, docs with ANY negated term
     excluded — equals brute, and local == distributed."""
