@@ -196,6 +196,92 @@ def main() -> None:
         f"batch({len(qset)})={queries['query_batch_distributed']}s"
     )
 
+    # --- positional serving legs: phrase + proximity p50/p95 over a
+    # positional twin of the headline index.  The positional build is
+    # CACHED across bench runs (like the corpus — keyed by package
+    # version so a layout change rebuilds); its one-time build cost is
+    # reported the run it happens (pos_index_build) and the serving
+    # numbers are what the leg exists for.  Latency is measured on the
+    # driver-side kernel path (_kernel_local) — the same path
+    # topk_phrase/topk_proximity(mode='local') wrap, minus the
+    # result-DataFrame re-wrap that a search frontend wouldn't pay.
+    import pandas as pd
+
+    import bilies_go_spark
+    from bilies_go_spark.functions.tokenize import tokenize_py
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+    from bilies_go_spark.operators.query import (
+        phrase_query_kernel,
+        proximity_query_kernel,
+    )
+
+    pidx = os.path.join(work, f"pindex_{bilies_go_spark.__version__}")
+    if not os.path.exists(os.path.join(pidx, "_index_meta.json")):
+        t0 = time.monotonic()
+        build_index(
+            spark,
+            spark.read.parquet(corpus_path),
+            pidx,
+            BuildConfig(n_buckets=BENCH_BUCKETS, positions=True),
+        )
+        queries["pos_index_build"] = round(time.monotonic() - t0, 3)
+        log(f"  positional build: {queries['pos_index_build']}s (cached for later runs)")
+    peng = QueryEngine(spark, pidx)
+    texts = [
+        "the of", "of the and", "you that he", "the the",
+        "water than", "is it you", "he was for", "one have this",
+    ]
+    pq = pd.DataFrame(
+        {"query_id": range(len(texts)), "text": texts, "k": [10] * len(texts)}
+    )
+
+    def _serve_each(qt_rows_fn, kernel_fn, tag):
+        qt_all = qt_rows_fn(pq)
+        peng._kernel_local(qt_all[qt_all["query_id"] < 2], kernel_fn)  # warm
+        lats = []
+        for qid in pq["query_id"]:
+            one = qt_all[qt_all["query_id"] == qid]
+            t0 = time.monotonic()
+            peng._kernel_local(one, kernel_fn)
+            lats.append(time.monotonic() - t0)
+        arr = np.array(lats)
+        extras[f"{tag}_p50_ms"] = round(float(np.percentile(arr, 50)) * 1000, 1)
+        extras[f"{tag}_p95_ms"] = round(float(np.percentile(arr, 95)) * 1000, 1)
+        queries[f"{tag}_each_p95"] = round(float(np.percentile(arr, 95)), 3)
+
+    def _prox_rows(qdf):
+        rows = []
+        for r in qdf.itertuples(index=False):
+            qts = sorted(set(tokenize_py(r.text)))
+            for t in qts:
+                rows.append((int(r.query_id), t, int(r.k), len(qts), 3))
+        return pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
+
+    _serve_each(peng._phrase_qt_rows, phrase_query_kernel, "phrase_local")
+    _serve_each(_prox_rows, proximity_query_kernel, "proximity_local")
+    log(
+        f"positional serving: phrase p50={extras['phrase_local_p50_ms']}ms "
+        f"p95={extras['phrase_local_p95_ms']}ms; proximity "
+        f"p50={extras['proximity_local_p50_ms']}ms p95={extras['proximity_local_p95_ms']}ms"
+    )
+
+    # --- fuzzy expansion: pre-built variant dictionary vs the legacy
+    # per-batch vocabulary scan (the >5x latency claim, measured in-band)
+    fuzzy_toks = ["watr", "thre", "peple", "numbr"]
+    peng.expand_fuzzy(fuzzy_toks)  # warm (opens the pyarrow datasets)
+    t0 = time.monotonic()
+    for _ in range(5):
+        dict_exp = peng.expand_fuzzy(fuzzy_toks)
+    extras["fuzzy_expand_dict_ms"] = round((time.monotonic() - t0) / 5 * 1000, 1)
+    t0 = time.monotonic()
+    scan_exp = peng._expand_fuzzy_scan(fuzzy_toks)
+    extras["fuzzy_expand_scan_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    assert dict_exp == scan_exp, "fuzzy dictionary diverged from the scan path"
+    log(
+        f"fuzzy expansion: dict={extras['fuzzy_expand_dict_ms']}ms "
+        f"scan={extras['fuzzy_expand_scan_ms']}ms"
+    )
+
     # --- scaling evidence: same corpus, N vs 4N execution slots, cold
     if scale_convs > 0:
         if scale_convs == n_convs:

@@ -254,6 +254,13 @@ class IndexPaths:
         )
 
     @property
+    def term_variants(self) -> str:
+        return os.path.join(
+            self.root,
+            "term_variants" if self.gen == 0 else f"term_variants.g{self.gen}",
+        )
+
+    @property
     def quarantine(self) -> str:
         return os.path.join(self.root, "quarantine")
 
@@ -271,6 +278,9 @@ class IndexPaths:
 
     def tier_term_stats(self, tier: str) -> str:
         return os.path.join(self.root, "tiers", tier, "term_stats")
+
+    def tier_term_variants(self, tier: str) -> str:
+        return os.path.join(self.root, "tiers", tier, "term_variants")
 
     # --- the serving pointer ------------------------------------------------
 
@@ -574,6 +584,37 @@ def encode_segments(
     tableio.write_partitioned(segments, seg_path, ["term_bucket"])
 
 
+#: SQL generator for a term's SymSpell deletion variants (the term
+#: itself + every single-character deletion) — shared by the build-time
+#: variant-dictionary writer and the legacy per-batch expansion scan
+DELETION_VARIANTS_EXPR = (
+    "array_union(array(term), transform(sequence(1, length(term)), "
+    "i -> concat(substring(term, 1, i - 1), substring(term, i + 1, length(term)))))"
+)
+
+
+def build_term_variants(
+    spark: SparkSession, ts_path: str, tv_path: str, cfg: BuildConfig
+) -> None:
+    """Materialize the SymSpell deletion-variant dictionary next to the
+    term stats: (variant, term) for every 0/1-char deletion of every
+    vocabulary term, partitioned by ``variant_bucket`` (hash of the
+    VARIANT).  Fuzzy expansion then answers from a partition-pruned
+    equality lookup instead of scanning + exploding the entire
+    vocabulary per query batch — the SymSpell design as intended: pay
+    O(vocab · len) ONCE at build, O(query variants) per query.  One
+    linear pass over the vocabulary; idempotent full overwrite."""
+    ts = spark.read.parquet(ts_path).select("term").distinct()
+    tv = (
+        ts.select("term", F.explode(F.expr(DELETION_VARIANTS_EXPR)).alias("variant"))
+        .distinct()
+        .withColumn("variant_bucket", term_bucket_col("variant", cfg.n_buckets))
+    )
+    tableio.write_partitioned(
+        tv.select("variant", "term", "variant_bucket"), tv_path, ["variant_bucket"]
+    )
+
+
 def pending_folds(spark: SparkSession, lineage: Lineage) -> list[str]:
     """Runs parts whose postings are not yet folded into ANY segment
     tier (nor the base segments)."""
@@ -650,6 +691,7 @@ def build_index(
     write_index_meta(paths, cfg)
     build_runs(spark, corpus, paths, cfg, lineage)
     build_segments(spark, paths, cfg, lineage)
+    build_term_variants(spark, paths.term_stats, paths.term_variants, cfg)
     stats = finalize_stats(spark, paths, lineage)
     publish_full_view(spark, paths, lineage, stats)
     return paths
@@ -716,14 +758,14 @@ def gc_stale_generations(paths: IndexPaths) -> list[str]:
     live_tiers = {t["id"] for t in cur["tiers"]}
     removed = []
     for name in sorted(os.listdir(paths.root)) if os.path.isdir(paths.root) else []:
-        for prefix in ("segments.g", "term_stats.g"):
+        for prefix in ("segments.g", "term_stats.g", "term_variants.g"):
             if name.startswith(prefix):
                 gen = int(name[len(prefix):])
                 if gen != cur["gen"]:
                     shutil.rmtree(os.path.join(paths.root, name), ignore_errors=True)
                     removed.append(name)
     if cur["gen"] != 0:
-        for name in ("segments", "term_stats"):  # generation 0
+        for name in ("segments", "term_stats", "term_variants"):  # generation 0
             p = os.path.join(paths.root, name)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)

@@ -406,23 +406,53 @@ class KernelStats:
     blocks_decoded: int = 0
 
 
+class DocBitmap:
+    """Dense packed bitmap over the doc-id space — 1 bit/id instead of
+    the sorted array's 8 B/id.  Large allowed sets (a tenant with 10^9
+    docs) convert to this form (:meth:`QueryEngine._doc_filter`) and
+    ship to executors through a Spark broadcast (one torrent-
+    distributed copy per executor) instead of riding in every task
+    closure: 10^10 dense ids = 1.25 GB of bits vs 80 GB of int64s."""
+
+    __slots__ = ("bits", "n_ids", "n_set")
+
+    def __init__(self, ids: np.ndarray, max_id: int | None = None):
+        mx = int(ids.max()) if max_id is None else max_id
+        dense = np.zeros(mx + 1, dtype=bool)
+        dense[ids] = True
+        self.bits = np.packbits(dense, bitorder="little")
+        self.n_ids = mx + 1
+        self.n_set = int(ids.size)
+
+    @property
+    def size(self) -> int:  # the emptiness contract DocSetFilter checks
+        return self.n_set
+
+    def contains(self, ids: np.ndarray) -> np.ndarray:
+        out = np.zeros(ids.size, dtype=bool)
+        ok = (ids >= 0) & (ids < self.n_ids)
+        sel = ids[ok]
+        out[ok] = (self.bits[sel >> 3] >> (sel & 7).astype(np.uint8)) & 1 > 0
+        return out
+
+
 class DocSetFilter:
     """Combined doc-id mask shipped to kernels in place of the plain
     tombstone array: ``deleted`` (sorted, exclude) plus an optional
-    ``allowed`` set (sorted, include-only) — the Lucene filter-bitset
-    analogue for metadata-filtered search (tenant / source / language
-    restrictions).  Masking happens at decode time, exactly like
-    tombstones, so block upper bounds only get looser and every pruning
-    theta (bootstrapped from already-masked partials) stays rank-safe
-    for the FILTERED ranking.  Corpus stats (df, n_docs, avgdl) stay
-    global — the filter restricts the result set, not the scoring
-    model.  At 10^12 docs the allowed set would ship as a broadcast
-    bitmap/Bloom per executor; the array form is the single-node /
-    per-task contract."""
+    ``allowed`` set (sorted array or :class:`DocBitmap`, include-only)
+    — the Lucene filter-bitset analogue for metadata-filtered search
+    (tenant / source / language restrictions).  Masking happens at
+    decode time, exactly like tombstones, so block upper bounds only
+    get looser and every pruning theta (bootstrapped from
+    already-masked partials) stays rank-safe for the FILTERED ranking.
+    Corpus stats (df, n_docs, avgdl) stay global — the filter
+    restricts the result set, not the scoring model.  Small sets ride
+    in the task closure; sets >= ALLOWED_BITMAP_MIN become a
+    broadcast DocBitmap."""
 
     __slots__ = ("deleted", "allowed")
 
-    def __init__(self, deleted: np.ndarray | None, allowed: np.ndarray | None):
+    def __init__(self, deleted: np.ndarray | None, allowed):
         self.deleted = deleted if deleted is not None and deleted.size else None
         self.allowed = allowed
 
@@ -435,10 +465,21 @@ class DocSetFilter:
         if self.allowed is not None:
             if self.allowed.size == 0:
                 return np.zeros(ids.size, dtype=bool)
-            pos = np.minimum(np.searchsorted(self.allowed, ids), self.allowed.size - 1)
-            inall = self.allowed[pos] == ids
+            if isinstance(self.allowed, DocBitmap):
+                inall = self.allowed.contains(ids)
+            else:
+                pos = np.minimum(
+                    np.searchsorted(self.allowed, ids), self.allowed.size - 1
+                )
+                inall = self.allowed[pos] == ids
             keep = inall if keep is None else (keep & inall)
         return keep
+
+
+def _unwrap_filter(flt):
+    """Resolve a filter that may have been shipped as a Spark
+    broadcast (QueryEngine._ship_filter) back to the filter object."""
+    return flt.value if hasattr(flt, "value") else flt
 
 
 def _keep_mask(ids: np.ndarray, flt) -> np.ndarray | None:
@@ -1891,13 +1932,45 @@ class QueryEngine:
         buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
         return terms, buckets
 
+    #: allowed sets at least this large (and dense enough that bits
+    #: beat int64s — density > 1/64) convert to a packed DocBitmap
+    ALLOWED_BITMAP_MIN = 1 << 23  # 8M ids = 64 MB as int64 array
+    #: filters whose array payload exceeds this ship via Spark
+    #: broadcast (one torrent copy per executor) instead of riding in
+    #: every task closure
+    FILTER_BROADCAST_MIN_BYTES = 4 << 20
+
     def _doc_filter(self, allowed: "np.ndarray | None"):
         """Kernel-side doc mask: the pinned tombstones, optionally
         combined with an allowed-id set (metadata-filtered search —
-        see :class:`DocSetFilter`).  ``allowed`` must be sorted int64."""
+        see :class:`DocSetFilter`).  ``allowed`` must be sorted int64;
+        large dense sets convert to a packed :class:`DocBitmap`."""
         if allowed is None:
             return self.deleted
-        return DocSetFilter(self.deleted, np.ascontiguousarray(allowed, dtype=np.int64))
+        arr = np.ascontiguousarray(allowed, dtype=np.int64)
+        if arr.size >= self.ALLOWED_BITMAP_MIN and (
+            arr.size == 0 or int(arr[-1]) < 64 * arr.size
+        ):
+            return DocSetFilter(self.deleted, DocBitmap(arr))
+        return DocSetFilter(self.deleted, arr)
+
+    def _ship_filter(self, flt):
+        """Large doc filters ride a Spark broadcast; kernels unwrap via
+        :func:`_unwrap_filter`.  Small filters stay in the closure
+        (broadcast setup isn't free for a few-KB tombstone array)."""
+        nb = 0
+        if isinstance(flt, DocSetFilter):
+            if isinstance(flt.allowed, DocBitmap):
+                nb += flt.allowed.bits.nbytes
+            elif flt.allowed is not None:
+                nb += flt.allowed.nbytes
+            if flt.deleted is not None:
+                nb += flt.deleted.nbytes
+        elif flt is not None:
+            nb = flt.nbytes
+        if nb >= self.FILTER_BROADCAST_MIN_BYTES:
+            return self.spark.sparkContext.broadcast(flt)
+        return flt
 
     # -- distributed path ----------------------------------------------------
 
@@ -1974,7 +2047,7 @@ class QueryEngine:
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
         margin = self.tie_margin
-        deleted = self._doc_filter(allowed)
+        deleted = self._ship_filter(self._doc_filter(allowed))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -1987,7 +2060,8 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
-                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin,
+                deleted=_unwrap_filter(deleted),
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
@@ -2357,14 +2431,14 @@ class QueryEngine:
         segs = self._segments_df(terms, buckets)
         tstats = self._tstats_df(terms, buckets)
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
-        deleted = self._doc_filter(allowed)
+        deleted = self._ship_filter(self._doc_filter(allowed))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
 
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
-            return conjunctive_match_kernel(pdf, deleted=deleted)
+            return conjunctive_match_kernel(pdf, deleted=_unwrap_filter(deleted))
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=MATCH_SCHEMA)
 
@@ -2548,17 +2622,57 @@ class QueryEngine:
     def _deletion_variants(tok: str) -> list[str]:
         return [tok] + [tok[:i] + tok[i + 1 :] for i in range(len(tok))]
 
+    def _tv_roots(self) -> list[str]:
+        roots = [self.paths.term_variants] + [
+            self.paths.tier_term_variants(t) for t in self.tiers
+        ]
+        return [r for r in roots if os.path.isdir(r)]
+
     def expand_fuzzy(self, toks: list[str]) -> dict[str, list[str]]:
-        """Dictionary terms within Levenshtein distance 1 of each token,
-        via the SymSpell deletion-variant join: candidates are (vocab
-        term, query token) pairs sharing a 0/1-char-deletion variant —
-        any distance-<=1 pair shares one — then an exact
-        ``F.levenshtein`` verify.  All DataFrame ops: the vocabulary
-        side streams through explode + broadcast-join (never collected,
-        linear in dictionary size — the shape that survives a 10^8-term
-        vocabulary), and only the tiny verified expansion returns."""
+        """Dictionary terms within Levenshtein distance 1 of each
+        token, via the PRE-BUILT SymSpell deletion-variant dictionary
+        (index_build.build_term_variants): any distance-<=1 pair shares
+        a 0/1-char-deletion variant, so expansion is a variant_bucket-
+        pruned pyarrow equality lookup over the query's own variants
+        (O(query variants), no Spark job, never a vocabulary scan) +
+        an exact edit-distance verify on the handful of candidates.
+        Indexes built before the variant table fall back to the legacy
+        per-batch vocabulary-scan join."""
         if not toks:
             return {}
+        tv_roots = self._tv_roots()
+        if not tv_roots:
+            return self._expand_fuzzy_scan(toks)
+        import pyarrow.dataset as pads
+
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        qvar: dict[str, set[str]] = {}
+        for t in sorted(set(toks)):
+            for v in self._deletion_variants(t):
+                qvar.setdefault(v, set()).add(t)
+        vs = sorted(qvar)
+        buckets = sorted({term_bucket_py(v, self.meta["n_buckets"]) for v in vs})
+        filt = pads.field("variant_bucket").isin(buckets) & pads.field("variant").isin(vs)
+        out: dict[str, set[str]] = {t: set() for t in set(toks)}
+        for root in tv_roots:
+            tb = pads.dataset(root, partitioning="hive").to_table(
+                filter=filt, columns=["variant", "term"]
+            )
+            for v, term in zip(tb["variant"].to_pylist(), tb["term"].to_pylist()):
+                for qt in qvar[v]:
+                    if _lev_le1(qt, term):
+                        out[qt].add(term)
+        return {t: sorted(v) for t, v in out.items()}
+
+    def _expand_fuzzy_scan(self, toks: list[str]) -> dict[str, list[str]]:
+        """Legacy expansion for variant-table-less indexes: the same
+        SymSpell join as DataFrame ops — the vocabulary side streams
+        through explode + broadcast-join (never collected, linear in
+        dictionary size), and only the tiny verified expansion
+        returns.  Correct but pays a full vocabulary scan per batch."""
+        from bilies_go_spark.operators.index_build import DELETION_VARIANTS_EXPR
+
         qrows = [
             (t, v) for t in sorted(set(toks)) for v in self._deletion_variants(t)
         ]
@@ -2575,12 +2689,8 @@ class QueryEngine:
                 for p in self._ts_roots()
             ],
         ).distinct()
-        variants_expr = (
-            "array_union(array(term), transform(sequence(1, length(term)), "
-            "i -> concat(substring(term, 1, i - 1), substring(term, i + 1, length(term)))))"
-        )
         cand = (
-            vocab.select("term", F.explode(F.expr(variants_expr)).alias("variant"))
+            vocab.select("term", F.explode(F.expr(DELETION_VARIANTS_EXPR)).alias("variant"))
             .join(F.broadcast(qv), "variant")
             .select("qtok", "term")
             .distinct()
@@ -2756,6 +2866,7 @@ class QueryEngine:
         joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
         k1, b, n_docs, avgdl, prune = self.k1, self.b, self.n_docs, self.avgdl, self.prune
         margin = self.tie_margin
+        shipped = self._ship_filter(flt)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             import bilies_go_spark
@@ -2763,7 +2874,8 @@ class QueryEngine:
             need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return composed_query_kernel(
-                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=flt
+                pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin,
+                deleted=_unwrap_filter(shipped),
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
@@ -2817,7 +2929,7 @@ class QueryEngine:
 
         sliced = joined.mapInPandas(slicer, schema=slice_schema)
         k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
-        deleted = self._doc_filter(allowed)
+        deleted = self._ship_filter(self._doc_filter(allowed))
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2834,7 +2946,8 @@ class QueryEngine:
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _score_shard(
-                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+                pdf, lo, hi, k1, b, n_docs, avgdl,
+                deleted=_unwrap_filter(deleted), tie_margin=margin,
             )
 
         partial = sliced.groupBy("query_id", "shard").applyInPandas(
@@ -3094,6 +3207,25 @@ class QueryEngine:
         if pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) <= 1, O(len) — the exact verify on SymSpell
+    variant-join candidates (a shared deletion variant admits a few
+    distance-2 pairs, e.g. 'abc'/'ac'+'x')."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
 
 
 def _tokenize_terms(text: str) -> set[str]:

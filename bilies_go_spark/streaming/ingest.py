@@ -43,6 +43,7 @@ from bilies_go_spark.operators.index_build import (
     _doc_local_tf,
     _doc_local_tf_pos,
     build_segments,
+    build_term_variants,
     encode_segments,
     finalize_stats,
     gc_stale_generations,
@@ -189,6 +190,7 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
     lineage = Lineage(index_dir)
     lineage.invalidate(spark, "segments")
     build_segments(spark, target, cfg, lineage)
+    build_term_variants(spark, target.term_stats, target.term_variants, cfg)
     stats = finalize_stats(spark, target, lineage)
     publish_full_view(spark, target, lineage, stats)
 
@@ -288,6 +290,11 @@ def compact_tiered(
     with StageTimer() as t:
         encode_segments(
             spark, runs_delta, paths.tier_segments(tier), paths.tier_term_stats(tier), cfg
+        )
+        # the tier's NEW terms join the fuzzy dictionary too (variant
+        # roots union like the stats roots)
+        build_term_variants(
+            spark, paths.tier_term_stats(tier), paths.tier_term_variants(tier), cfg
         )
     # stats BEFORE the pointer flip and the folded ack: finalize_stats
     # derives purely from the runs ledger (safe to run early), the

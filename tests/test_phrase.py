@@ -371,6 +371,20 @@ def test_fuzzy_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir)
     assert len([v for v in vocab if lev("thre", v) <= 1]) >= 1
 
 
+def test_fuzzy_variant_dictionary_equals_scan(spark, pos_index_dir):
+    """build_index materializes the SymSpell deletion-variant table;
+    expand_fuzzy answers from the pruned dictionary lookup and must
+    equal the legacy full-vocabulary-scan join exactly."""
+    eng = QueryEngine(spark, pos_index_dir)
+    assert eng._tv_roots(), "build_index should write term_variants/"
+    toks = ["watr", "thre", "zzqqx", "the"]
+    fast = eng.expand_fuzzy(toks)
+    scan = eng._expand_fuzzy_scan(toks)
+    assert fast == scan
+    assert fast["watr"], "typo must expand to at least one real term"
+    assert fast["zzqqx"] == []
+
+
 def test_phrase_sharded_equals_distributed(spark, pos_index_dir):
     """The doc-range-sharded phrase plan (positions sliced at block
     boundaries, per-shard verification, window merge) is

@@ -382,6 +382,92 @@ def test_tier_count_bounded_by_leveling(spark, small_corpus, tmp_path_factory):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_serve_while_ingest_delete_compact_triangle(
+    spark, small_corpus, tmp_path_factory
+):
+    """The serve-while-ingest-while-delete triangle: a reader
+    constructing fresh engines at arbitrary instants while the index
+    concurrently streams new docs, folds a delta tier, tombstones
+    docs, and fully compacts must ONLY ever observe committed states —
+    each answer equals a batch-built oracle for exactly one of
+    {base-only, base+streamed, post-delete}, never a torn mix (a
+    half-published tier or stats/tombstones out of step would match no
+    oracle and fail)."""
+    import threading
+
+    from bilies_go_spark.operators.deletes import delete_docs
+    from bilies_go_spark.streaming.ingest import compact_tiered
+
+    d = str(tmp_path_factory.mktemp("tri_idx"))
+    src = str(tmp_path_factory.mktemp("tri_src"))
+    half1 = small_corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = small_corpus.filter(F.col("doc_id") % 2 == 1)
+    half1.repartition(2).write.mode("overwrite").parquet(src)
+    q = start_ingest(spark, src, d, CFG)
+    q.awaitTermination(300)
+    compact(spark, d, CFG)  # committed state S0: half1 served
+
+    queries = reference_queries().head(6)
+    key = ["query_id", "rank"]
+
+    def canon(pdf):
+        return (
+            pdf.sort_values(key)
+            .reset_index(drop=True)
+            .round(9)
+            .to_csv(index=False)
+        )
+
+    def oracle(corpus, tag):
+        o = str(tmp_path_factory.mktemp(f"tri_oracle_{tag}"))
+        build_index(spark, corpus, o, CFG)
+        return canon(QueryEngine(spark, o).topk_pandas(queries))
+
+    s0 = oracle(half1, "s0")
+    s1 = oracle(small_corpus, "s1")
+    import io
+
+    s1_pdf = pd.read_csv(io.StringIO(s1))
+    victims = sorted(set(s1_pdf[s1_pdf["rank"] == 1]["doc_id"].astype(int)))[:3]
+    s2 = oracle(small_corpus.filter(~F.col("doc_id").isin(victims)), "s2")
+    states = {s0: "S0", s1: "S1", s2: "S2"}
+
+    stop = threading.Event()
+    seen: list[str] = []
+    errs: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            got = canon(QueryEngine(spark, d).topk_pandas(queries))
+            if got in states:
+                seen.append(states[got])
+            else:
+                errs.append(got[:400])
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        # the mutation storm, all while the reader loops
+        half2.repartition(2).write.mode("append").parquet(src)
+        q = start_ingest(spark, src, d, CFG)
+        q.awaitTermination(300)          # S0 still (pending parts unserved)
+        assert compact_tiered(spark, d, CFG) is not None   # -> S1
+        assert delete_docs(spark, d, victims) is not None  # -> S2
+        compact(spark, d, CFG)           # purge; answers stay S2
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, f"reader observed a torn state:\n{errs[0]}"
+    assert len(seen) >= 3
+    # the reader must have crossed at least one state transition, and
+    # transitions only move forward (S0 -> S1 -> S2)
+    order = {"S0": 0, "S1": 1, "S2": 2}
+    assert all(order[a] <= order[b] for a, b in zip(seen, seen[1:])), seen
+    final = canon(QueryEngine(spark, d).topk_pandas(queries))
+    assert states.get(final) == "S2"
+
+
 def test_events_sessionized_runs_under_readstream(spark, sf_dir, tmp_path_factory):
     """The session-window aggregation the driver gates as a batch query
     (driver_queries.q_events_sessionized) runs UNCHANGED as a stateful
