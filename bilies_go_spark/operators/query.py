@@ -190,6 +190,8 @@ def _slice_segments_by_shard_pos(
     n_terms+slots, proximity: n_terms+slop) through."""
 
     def _conv(v):
+        if isinstance(v, str):
+            return v
         if isinstance(v, (list, tuple, np.ndarray)):
             return [int(x) for x in v]
         return int(v)
@@ -252,6 +254,37 @@ def _slice_segments_by_shard_pos(
     )
 
 
+def _decode_slice_quad(rows: pd.DataFrame, lo: int, hi: int, deleted):
+    """Decode ONE term's positional byte slices into a live
+    (ids, tfs, dls, pos) quad restricted to [lo, hi); None when the
+    term has no live postings inside the shard."""
+    from bilies_go_spark.operators.codec import _restore_positions, vbyte_decode
+
+    parts = []
+    for r in rows.itertuples(index=False):
+        gaps = vbyte_decode(np.frombuffer(bytes(r.doc_gaps_vb), dtype=np.uint8))
+        if gaps.size == 0:
+            continue
+        ids = int(r.base_doc) + np.cumsum(gaps.astype(np.int64))
+        tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
+        dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
+        deltas = vbyte_decode(np.frombuffer(bytes(r.positions_vb), dtype=np.uint8))
+        pos = _restore_positions(deltas, tfs)
+        m = (ids >= lo) & (ids < hi)
+        if not m.any():
+            continue
+        quad = (ids[m], tfs[m], dls[m], pos[np.repeat(m, tfs)])
+        parts.append(_alive_quad(quad, deleted))
+    parts = [p for p in parts if p[0].size]
+    if not parts:
+        return None
+    return (
+        parts[0]
+        if len(parts) == 1
+        else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+    )
+
+
 def _decode_pos_shard(pdf: pd.DataFrame, lo: int, hi: int, n_docs: int, deleted):
     """Decode every positional slice of one (query, shard) into
     per-term (ids, tfs, dls, pos) quads restricted to [lo, hi).
@@ -260,8 +293,6 @@ def _decode_pos_shard(pdf: pd.DataFrame, lo: int, hi: int, n_docs: int, deleted)
     then cannot contain all terms, so the caller emits nothing (exact:
     doc ranges partition the docs, so every posting AND position of a
     doc lands in exactly this shard)."""
-    from bilies_go_spark.operators.codec import _restore_positions, vbyte_decode
-
     n_expected = int(pdf["n_terms"].iloc[0])
     terms = sorted(pdf["term"].unique())
     if len(terms) < n_expected:
@@ -273,30 +304,102 @@ def _decode_pos_shard(pdf: pd.DataFrame, lo: int, hi: int, n_docs: int, deleted)
             "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
         }
-        parts = []
-        for r in rows.itertuples(index=False):
-            gaps = vbyte_decode(np.frombuffer(bytes(r.doc_gaps_vb), dtype=np.uint8))
-            if gaps.size == 0:
-                continue
-            ids = int(r.base_doc) + np.cumsum(gaps.astype(np.int64))
-            tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
-            dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
-            deltas = vbyte_decode(np.frombuffer(bytes(r.positions_vb), dtype=np.uint8))
-            pos = _restore_positions(deltas, tfs)
-            m = (ids >= lo) & (ids < hi)
-            if not m.any():
-                continue
-            quad = (ids[m], tfs[m], dls[m], pos[np.repeat(m, tfs)])
-            parts.append(_alive_quad(quad, deleted))
-        parts = [p for p in parts if p[0].size]
-        if not parts:
+        quad = _decode_slice_quad(rows, lo, hi, deleted)
+        if quad is None:
             return None  # term absent in shard -> no match in this shard
-        quads[term] = (
-            parts[0]
-            if len(parts) == 1
-            else tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
-        )
+        quads[term] = quad
     return terms, per_term, quads
+
+
+def _composed_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Composed (bool) evaluation for one (query, shard): the whole
+    clause pipeline — MUST_NOT exclusion, MUST-phrase verification,
+    SHOULD scoring — is doc-local, so it runs shard-exactly on the
+    sliced streams: a doc's postings, positions, and negated-term
+    postings all land in its shard, and per-term df/idf arrive
+    globally via the broadcast stats column."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    spec = json.loads(pdf["qspec"].iloc[0])
+    phrases = [list(p) for p in spec.get("phrases", []) if p]
+
+    per_term, quads, neg = {}, {}, set()
+    for term, rows in pdf.groupby("term", sort=True):
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+        }
+        if int(rows["neg"].iloc[0]):
+            neg.add(term)
+        quad = _decode_slice_quad(rows, lo, hi, deleted)
+        if quad is not None:
+            quads[term] = quad
+    sterms = sorted(t for t in quads if t not in neg)
+    if not sterms:
+        return empty
+
+    # MUST_NOT: shard-local exclusion is exact (a doc's neg-term
+    # postings live in this shard)
+    flt = deleted if isinstance(deleted, DocSetFilter) else DocSetFilter(deleted, None)
+    excl_parts = [quads[t][0] for t in sorted(neg) if t in quads]
+    if excl_parts:
+        excl = np.unique(np.concatenate(excl_parts))
+        tomb = excl if flt.deleted is None else np.union1d(flt.deleted, excl)
+        nflt = DocSetFilter(tomb, flt.allowed)
+        quads = {t: _alive_quad(quads[t], nflt) for t in sterms}
+        quads = {t: q for t, q in quads.items() if q[0].size}
+        sterms = sorted(quads)
+        if not sterms:
+            return empty
+
+    # MUST phrases, intersected
+    cand: np.ndarray | None = None
+    for p in phrases:
+        pterms = sorted(set(p))
+        if any(t not in quads for t in pterms):
+            return empty  # phrase term absent in shard -> no match here
+        slots: dict[str, list[int]] = {}
+        for j, t in enumerate(p):
+            slots.setdefault(t, []).append(j)
+        slot_list = sorted(
+            (per_term[t]["df"], off, t) for t, offs in slots.items() for off in offs
+        )
+        matched = _verify_phrase(quads, slot_list)
+        if matched.size == 0:
+            return empty
+        cand = matched if cand is None else np.intersect1d(cand, matched, assume_unique=True)
+        if cand.size == 0:
+            return empty
+
+    decoded = {t: quads[t][:3] for t in sterms}
+    doc, acc = _merge_accumulate(decoded, per_term, sterms, avgdl, k1, b, cand=cand)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
 
 
 def _phrase_shard(
@@ -870,7 +973,9 @@ def conjunctive_query_kernel(
 #: composite (doc, start-position) key stride for phrase verification —
 #: positions must stay below this (docs longer than 2^21 ≈ 2M tokens are
 #: rejected at query time).  Keys fit int64 up to ~4·10^12 docs.
-PHRASE_POS_STRIDE = 1 << 21
+PHRASE_POS_SHIFT = 21
+PHRASE_POS_STRIDE = 1 << PHRASE_POS_SHIFT
+PHRASE_POS_MASK = PHRASE_POS_STRIDE - 1
 
 
 def _alive_quad(quad, deleted):
@@ -881,6 +986,22 @@ def _alive_quad(quad, deleted):
     if keep is None or keep.all():
         return quad
     return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
+
+
+def _restrict_triple(triple, cand: np.ndarray):
+    """Keep only candidate docs (sorted ``cand``) in a decoded
+    (ids, tfs, dls) triple — the position-free sibling of
+    :func:`_restrict_quad` for the serving cache (whose entries carry
+    composite keys instead of raw positions)."""
+    ids, tfs, dls = triple
+    if ids.size == 0 or cand.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    pidx = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+    keep = cand[pidx] == ids
+    if keep.all():
+        return triple
+    return ids[keep], tfs[keep], dls[keep]
 
 
 def _restrict_quad(quad, cand: np.ndarray):
@@ -1072,6 +1193,76 @@ def phrase_query_kernel(
     )
 
 
+def _verify_phrase_keys(keys_by_term: dict, slot_list) -> np.ndarray:
+    """Phrase verification over PRE-SORTED composite (doc·2^21 + pos)
+    key arrays — the serving-cache twin of :func:`_verify_phrase`.
+    Slot offset j shifts a term's keys by -j after dropping positions
+    < j; the boolean mask preserves sort order, so no per-query sort
+    (the cached arrays are sorted once at fill)."""
+    keys: np.ndarray | None = None
+    e = np.empty(0, dtype=np.int64)
+    for _, off, t in slot_list:
+        kt = keys_by_term[t]
+        skeys = kt if off == 0 else (kt[(kt & PHRASE_POS_MASK) >= off] - off)
+        if keys is None:
+            keys = skeys
+        else:
+            if skeys.size == 0:
+                return e
+            pidx = np.minimum(np.searchsorted(skeys, keys), skeys.size - 1)
+            keys = keys[skeys[pidx] == keys]
+        if keys.size == 0:
+            return e
+    docs = keys >> PHRASE_POS_SHIFT  # keys stayed sorted -> docs sorted
+    return docs[np.concatenate([[True], docs[1:] != docs[:-1]])]
+
+
+def _min_window_from_keys(keys_by_term: dict, slop: int) -> np.ndarray:
+    """Minimal-covering-window sweep over pre-sorted composite key
+    arrays (see :func:`_min_window_matched` for the algorithm).
+
+    The anchor set is the union of the per-term key arrays, but it is
+    never materialized in merged order (random scatter/gather on a
+    union-sized array was measured 3-4x slower than everything else
+    combined): anchors are swept PER SOURCE TERM — for term i's
+    occurrences, each other term's latest-occurrence-<=-anchor comes
+    from one sequential searchsorted into its sorted keys — and the
+    per-term hit-doc sets union at the end.  The composite split uses
+    shift/mask (the stride is 2^21)."""
+    e = np.empty(0, dtype=np.int64)
+    arrs = list(keys_by_term.values())
+    matched_parts = []
+    for i, ka in enumerate(arrs):
+        if ka.size == 0:
+            return e
+        a_doc = ka >> PHRASE_POS_SHIFT
+        a_pos = ka & PHRASE_POS_MASK
+        ok = np.ones(ka.size, dtype=bool)
+        win = a_pos.copy()  # anchor's own term trivially <= a
+        for j, kb in enumerate(arrs):
+            if j == i:
+                continue
+            # keys are globally unique ((doc, pos) slots), so 'left'
+            # and 'right' agree: idx = latest kb occurrence <= anchor
+            idx = np.searchsorted(kb, ka) - 1
+            valid = idx >= 0
+            pred = kb[np.maximum(idx, 0)]
+            same = valid & ((pred >> PHRASE_POS_SHIFT) == a_doc)
+            ok &= same
+            win = np.minimum(win, np.where(same, pred & PHRASE_POS_MASK, 0))
+        hit = ok & (a_pos - win <= slop)
+        if hit.any():
+            d = a_doc[hit]  # ka ascends -> docs ascend
+            matched_parts.append(d[np.concatenate([[True], d[1:] != d[:-1]])])
+    if not matched_parts:
+        return e
+    if len(matched_parts) == 1:
+        return matched_parts[0]
+    from functools import reduce
+
+    return reduce(np.union1d, matched_parts)
+
+
 def _min_window_matched(quads: dict, terms: list[str], slop: int) -> np.ndarray:
     """Docs where ALL ``terms`` co-occur within a token window of span
     <= ``slop``: the vectorized minimal-covering-window sweep.  With
@@ -1091,24 +1282,7 @@ def _min_window_matched(quads: dict, terms: list[str], slop: int) -> np.ndarray:
         kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
         kt.sort()
         keys_by_term[t] = kt
-    anchors = np.concatenate(list(keys_by_term.values()))
-    anchors.sort()
-    a_doc = anchors // PHRASE_POS_STRIDE
-    ok = np.ones(anchors.size, dtype=bool)
-    win_start = anchors % PHRASE_POS_STRIDE  # anchor's own term trivially <= a
-    for t in terms:
-        kt = keys_by_term[t]
-        idx = np.searchsorted(kt, anchors, side="right") - 1
-        valid = idx >= 0
-        pred = kt[np.maximum(idx, 0)]
-        same = valid & (pred // PHRASE_POS_STRIDE == a_doc)
-        ok &= same
-        win_start = np.minimum(win_start, np.where(same, pred % PHRASE_POS_STRIDE, 0))
-    span = (anchors % PHRASE_POS_STRIDE) - win_start
-    hit = ok & (span <= slop)
-    if not hit.any():
-        return np.empty(0, dtype=np.int64)
-    return np.unique(a_doc[hit])
+    return _min_window_from_keys(keys_by_term, slop)
 
 
 def proximity_query_kernel(
@@ -1801,6 +1975,39 @@ class _ContribCache:
         self._d[term] = arr
 
 
+class _PosCache:
+    """Byte-capped FILL-ONCE cache for the positional serving path:
+    term -> (ids, tfs, dls, pos, keys) where ``keys`` is the SORTED
+    composite (doc·2^21 + pos) array phrase/proximity verification
+    consumes directly.
+
+    The positional twin of :class:`_ContribCache`, solving the same
+    problem one level up: an all-hot phrase ("of the and") decodes
+    millions of postings+positions and re-sorts millions of composite
+    keys EVERY query — measured 2.5-12 s/query warm on a 2M-turn index
+    — even though the arrays depend only on the engine-pinned
+    (segments, tombstones) view.  Caching the decoded, alive-filtered,
+    pre-sorted arrays once turns a hot positional query into pure
+    searchsorted intersections.  Entries are immutable; the cap is a
+    hard budget (uncached terms fall back to per-query decode)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d: dict[str, tuple] = {}
+        self._bytes = 0
+
+    def get(self, term: str):
+        return self._d.get(term)
+
+    def put(self, term: str, entry: tuple) -> bool:
+        nb = sum(int(a.nbytes) for a in entry)
+        if self._bytes + nb > self.max_bytes:
+            return False
+        self._d[term] = entry
+        self._bytes += nb
+        return True
+
+
 class QueryEngine:
     """Reusable query handle over a built index.
 
@@ -1856,6 +2063,9 @@ class QueryEngine:
         self.seg_cache = _SegmentCache(cache_mb << 20)
         self.contrib_cache = _ContribCache(
             int(_os.environ.get("BGS_CONTRIB_CACHE_MB", "384")) << 20
+        )
+        self.pos_cache = _PosCache(
+            int(_os.environ.get("BGS_POS_CACHE_MB", "1024")) << 20
         )
         # delta tiers from incremental compaction (streaming/ingest.
         # compact_tiered): unioned with the base segments on every path.
@@ -2119,6 +2329,131 @@ class QueryEngine:
                 rows.append((int(r.query_id), t, int(r.k), len(slots), offs))
         return pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slots"])
 
+    def _pos_entry(self, term: str, rows: pd.DataFrame):
+        """(ids int64, tfs int32, dls int32, keys int64) for one term
+        on the positional serving path — alive-filtered (engine-pinned
+        tombstones baked in) with pre-sorted composite keys (the keys
+        subsume the raw positions, so positions are not stored: a hot
+        term's entry is ~20 B/posting + 8 B/occurrence).  Hot terms
+        cache fill-once (:class:`_PosCache`), rare terms decode per
+        query (cheap by definition)."""
+        hit = self.pos_cache.get(term)
+        if hit is not None:
+            return hit
+        from bilies_go_spark.operators.codec import decode_masked_pos
+
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        parts = [
+            _alive_quad(decode_masked_pos(seg, None), self.deleted) for seg in runs
+        ]
+        parts = [p for p in parts if p[0].size]
+        e = np.empty(0, dtype=np.int64)
+        if not parts:
+            quad = (e, e, e, e)
+        elif len(parts) == 1:
+            quad = parts[0]
+        else:
+            quad = tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+        ids, tfs, dls, pos = quad
+        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+        keys = (np.repeat(ids, tfs) << PHRASE_POS_SHIFT) + pos
+        keys.sort()
+        entry = (
+            ids.astype(np.int64, copy=False),
+            tfs.astype(np.int32),
+            dls.astype(np.int32),
+            keys,
+        )
+        dfreq = int(rows["df"].iloc[0]) if len(rows) else 0
+        if dfreq >= max(1000, self.HOT_DF_FRAC * self.n_docs):
+            self.pos_cache.put(term, entry)
+        return entry
+
+    def _pos_local(self, qt_pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
+        """Driver serving path for phrase / proximity over the
+        positional quad+key cache: segment rows via the LRU term cache,
+        hot terms' decoded+sorted arrays via :class:`_PosCache`, then
+        pure searchsorted verification (:func:`_verify_phrase_keys` /
+        :func:`_min_window_from_keys`) and candidate-restricted BM25 —
+        no per-query decode or sort for hot terms.  Result-identical
+        to the distributed kernels (pytest-pinned)."""
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        if qt_pdf.empty:
+            return empty
+        seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+        if seg_pdf.empty:
+            return empty
+        outs = []
+        for qid, qrows in qt_pdf.groupby("query_id", sort=True):
+            n_expected = int(qrows["n_terms"].iloc[0])
+            terms = sorted(qrows["term"].unique())
+            entries, df_map, ok = {}, {}, True
+            for t in terms:
+                rows = seg_pdf[seg_pdf["term"] == t]
+                if rows.empty:
+                    ok = False
+                    break
+                ent = self._pos_entry(t, rows)
+                if ent[0].size == 0:
+                    ok = False
+                    break
+                entries[t] = ent
+                df_map[t] = int(rows["df"].iloc[0])
+            if not ok or len(terms) < n_expected:
+                continue  # some term matches nothing -> empty result
+            # the merge/verify temporaries are occurrence-sized; fault
+            # their pages in bulk (first-touch storms dominate on this
+            # VM class — see prefault_heap)
+            import bilies_go_spark as _bgs
+
+            need = 2 * sum(
+                sum(int(a.nbytes) for a in entries[t]) for t in terms
+            ) + (64 << 20)
+            _bgs.prefault_heap(min(need, 1 << 30))
+            keys_by_term = {t: entries[t][3] for t in terms}
+            if kind == "phrase":
+                slots_map = dict(zip(qrows["term"], qrows["slots"]))
+                slot_list = sorted(
+                    (df_map[t], int(off), t) for t in terms for off in slots_map[t]
+                )
+                matched = _verify_phrase_keys(keys_by_term, slot_list)
+            else:
+                matched = _min_window_from_keys(
+                    keys_by_term, int(qrows["slop"].iloc[0])
+                )
+            if matched.size == 0:
+                continue
+            per_term = {
+                t: {
+                    "idf": float(
+                        np.log1p((self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                    )
+                }
+                for t in terms
+            }
+            decoded = {t: _restrict_triple(entries[t][:3], matched) for t in terms}
+            doc, acc = _merge_accumulate(
+                decoded, per_term, terms, self.avgdl, self.k1, self.b, cand=matched
+            )
+            if doc.size == 0:
+                continue
+            k = int(qrows["k"].iloc[0])
+            sel = _topk_select(doc, acc, k, tie_margin=self.tie_margin)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(sel.size, int(qid), dtype=np.int64),
+                        "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                        "doc_id": doc[sel],
+                        "score": acc[sel],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
     def _kernel_local(self, qt_pdf: pd.DataFrame, kernel_fn) -> pd.DataFrame:
         """Driver-local serving path for the pandas kernels: fetch
         the query terms' segment rows through the LRU term cache
@@ -2193,7 +2528,7 @@ class QueryEngine:
         if n_shards is not None and n_shards > 1:
             return self.topk_phrase_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
-            out = self._kernel_local(qt_pdf, phrase_query_kernel)
+            out = self._pos_local(qt_pdf, "phrase")
             if out.empty:
                 return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
             return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
@@ -2312,7 +2647,7 @@ class QueryEngine:
         if n_shards is not None and n_shards > 1:
             return self.topk_proximity_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
-            out = self._kernel_local(qt_pdf, proximity_query_kernel)
+            out = self._pos_local(qt_pdf, "proximity")
             if out.empty:
                 return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
             return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
@@ -2791,6 +3126,7 @@ class QueryEngine:
         queries: pd.DataFrame,
         allowed: "np.ndarray | None" = None,
         mode: str = "distributed",
+        n_shards: int | None = None,
     ) -> DataFrame:
         """Composed search: ONE query string mixing phrase + MUST_NOT +
         prefix + fuzzy + bare terms, optionally under an allowed-set
@@ -2842,6 +3178,8 @@ class QueryEngine:
         flt = self._doc_filter(
             None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
         )
+        if n_shards is not None and n_shards > 1:
+            return self.topk_composed_sharded(queries, qt_pdf, n_shards, flt)
         if mode == "local":
             def kfn(pdf, k1, b, n_docs, avgdl, tie_margin=0.0, deleted=None):
                 # the combined (tombstones + allowed) filter replaces the
@@ -2879,6 +3217,75 @@ class QueryEngine:
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_composed_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int, flt
+    ) -> DataFrame:
+        """Doc-range-sharded composed plan: the entire bool pipeline
+        (MUST_NOT exclusion, MUST-phrase verification, SHOULD scoring)
+        is doc-local, so each (query, shard) evaluates its doc range
+        completely on block-boundary byte slices of all four streams
+        and the shard top-ks window-merge — an all-hot composed query
+        at 10^12 docs never funnels a full posting list into one task,
+        same as the phrase/proximity sharded plans.  Requires a
+        positional index (the slicer cuts the positions stream)."""
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "sharded composed queries need an index built with "
+                "BuildConfig(positions=True)"
+            )
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int, neg int, qspec string"
+        )
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        slice_schema = (
+            "query_id bigint, k int, neg int, qspec string, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(
+                    pdf, bounds, extra_cols=("neg", "qspec")
+                )
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        shipped = self._ship_filter(flt)
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _composed_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl,
+                deleted=_unwrap_filter(shipped), tie_margin=margin,
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
 
     # -- doc-range-sharded distributed path ------------------------------------
 

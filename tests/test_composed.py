@@ -161,6 +161,29 @@ def test_composed_with_allowed_filter(spark, small_corpus, pos_idx):
     assert len(exp) > 0
 
 
+def test_composed_sharded_equals_distributed(spark, small_corpus, pos_idx):
+    """The doc-range-sharded composed plan (all four streams sliced at
+    block boundaries, full bool pipeline per shard, window merge) is
+    result-identical to the one-task-per-query plan — with and without
+    the allowed-set filter."""
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(COMPOSED).toPandas()
+    for n_shards in (3, 8):
+        shard = eng.topk_composed(COMPOSED, n_shards=n_shards).toPandas()
+        a = shard.sort_values(KEY).reset_index(drop=True)
+        b = dist.sort_values(KEY).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=f"n_shards={n_shards}")
+    assert len(dist)
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    allowed = np.sort(corpus_pdf["doc_id"].to_numpy()[::2]).astype(np.int64)
+    dist_f = eng.topk_composed(COMPOSED, allowed=allowed).toPandas()
+    shard_f = eng.topk_composed(COMPOSED, allowed=allowed, n_shards=4).toPandas()
+    pd.testing.assert_frame_equal(
+        shard_f.sort_values(KEY).reset_index(drop=True),
+        dist_f.sort_values(KEY).reset_index(drop=True),
+    )
+
+
 def test_composed_error_surface(spark, small_corpus, pos_idx, tmp_path):
     eng = QueryEngine(spark, pos_idx)
     with pytest.raises(ValueError, match="negated phrase"):
