@@ -1030,6 +1030,9 @@ COMPOSED_QUERIES: list[tuple[int, str, int]] = [
     (5, '"zzzmissing table" table', 10),            # unmatched phrase -> empty
     (6, '"table table" -join', 10),                 # repeated-term phrase + neg
     (7, "dup value", 10),                           # degenerate plain OR
+    (8, 'table -"hash join"', 10),                  # negated phrase + bare
+    (9, '"hash join" -"sort key" tab*', 10),        # MUST + negated phrase + prefix
+    (10, 'dup -"zzzmissing table"', 10),            # absent negated phrase -> no-op
 ]
 
 
@@ -1063,7 +1066,7 @@ def bm25_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_composed_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
     from bilies_go_spark.operators.query import QueryEngine
 
-    like_rows, fuzzy_rows, ph_rows, neg_rows, qn_rows = [], [], [], [], []
+    like_rows, fuzzy_rows, ph_rows, neg_rows, nph_rows, qn_rows = [], [], [], [], [], []
     for qid, text, k in COMPOSED_QUERIES:
         s = QueryEngine._parse_composed_query(text)
         negset = set(s["neg"])
@@ -1077,11 +1080,14 @@ def bm25_composed_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> st
             neg_rows.append(f"({qid}, '{t}')")
         for p in s["phrases"]:
             ph_rows.append(f"({qid}, '{' '.join(p)}')")
+        for p in s["neg_phrases"]:
+            nph_rows.append(f"({qid}, '{' '.join(p)}')")
         qn_rows.append(f"({qid}, {len(s['phrases'])})")
     # empty VALUES lists are a syntax error: pad with a never-matching row
     fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0)"]
     ph_rows = ph_rows or ["(-1, 'zzzdummy')"]
     neg_rows = neg_rows or ["(-1, 'zzzdummy')"]
+    nph_rows = nph_rows or ["(-1, 'zzzdummy')"]
     src_list = ", ".join(f"'{s}'" for s in FILTER_SOURCES)
     return f"""
 WITH toks AS (
@@ -1100,6 +1106,7 @@ ql(query_id, patt, k) AS (VALUES {", ".join(like_rows)}),
 qf(query_id, tok, k) AS (VALUES {", ".join(fuzzy_rows)}),
 ph(query_id, phrase) AS (VALUES {", ".join(ph_rows)}),
 nq(query_id, term) AS (VALUES {", ".join(neg_rows)}),
+nph(query_id, phrase) AS (VALUES {", ".join(nph_rows)}),
 qn(query_id, n_phrases) AS (VALUES {", ".join(qn_rows)}),
 qe AS (
   SELECT DISTINCT query_id, term, k FROM (
@@ -1134,6 +1141,11 @@ sc AS (
   WHERE NOT EXISTS (
     SELECT 1 FROM nq JOIN post np ON np.term = nq.term AND np.doc_id = p.doc_id
     WHERE nq.query_id = qe.query_id
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM nph, tstr td
+    WHERE nph.query_id = qe.query_id AND td.doc_id = p.doc_id
+      AND strpos(td.s, ' ' || nph.phrase || ' ') > 0
   )
   AND (qn.n_phrases = 0 OR EXISTS (
     SELECT 1 FROM pm WHERE pm.query_id = qe.query_id AND pm.doc_id = p.doc_id
@@ -1180,7 +1192,10 @@ def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting index joined to the documents table, grouped by facet
     value.  The join shuffles on doc_id like any fact join — the shape
     that scales (neither the match set nor the docs table is
-    collected)."""
+    collected); with AQE on (session default) Spark converts it to a
+    broadcast join at runtime whenever the match set's shuffle stats
+    come in under the broadcast threshold, so selective queries skip
+    the docs-side shuffle without a driver-side size guess."""
     from bilies_go_spark.operators.query import QueryEngine
 
     _ensure_pyfiles(spark)
@@ -1221,6 +1236,147 @@ m AS (
 SELECT m.query_id, d.{FACET_COL} AS {FACET_COL}, count(*) AS n_docs
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1, 2
+"""
+
+
+# --- highlight (snippet) search ----------------------------------------------
+# The ES/Lucene highlighter surface: conjunctive top-k where every hit
+# carries the minimal token window covering one occurrence of each
+# query term (0-based inclusive [win_start, win_end]; equal spans
+# tie-break leftmost) plus the analyzed-token snippet for that window.
+# Windows come from the positional index (the proximity anchor sweep's
+# argmin); snippets come from a broadcast join of the tiny top-k result
+# against the documents scan — the text side never shuffles.
+
+HIGHLIGHT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table", 5),                # single term -> first occurrence
+    (1, "hash join", 10),           # two terms
+    (2, "scan merge batch", 10),    # three terms
+    (3, "spark window group", 10),
+    (4, "zzzmissing table", 10),    # absent term -> empty
+]
+
+
+def highlight_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in HIGHLIGHT_QUERIES],
+            "text": [q[1] for q in HIGHLIGHT_QUERIES],
+            "k": [q[2] for q in HIGHLIGHT_QUERIES],
+        }
+    )
+
+
+def search_highlight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive top-k + best-window + snippet on the positional
+    index — must match the window-argmin oracle rank-for-rank AND
+    window-for-window."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    raw = eng.search_highlight(highlight_queries_pdf(), docs_df=docs)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            highlight_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    scored = (
+        raw.drop("rank")
+        .join(kdf, "query_id")
+        .withColumn("score", F.round("score", ROUND_DIGITS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id", "rank", "doc_id", "score", "win_start", "win_end", "snippet"
+        )
+    )
+
+
+def search_highlight_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qtrows = []
+    for qid, text, k in HIGHLIGHT_QUERIES:
+        terms = sorted(set(tokenize_py(text)))
+        for t in terms:
+            qtrows.append(f"({qid}, '{t}', {k}, {len(terms)})")
+    qt_values = ", ".join(qtrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tkd AS (SELECT doc_id, {duck_tokens()} AS tk FROM documents),
+posn AS (
+  SELECT doc_id, d.tk[g.i] AS term, g.i - 1 AS pos
+  FROM tkd d, unnest(generate_series(1, len(d.tk))) AS g(i)
+),
+qt(query_id, term, k, n_terms) AS (VALUES {qt_values}),
+qn AS (SELECT query_id, max(n_terms) AS n_terms FROM qt GROUP BY 1),
+tp AS (
+  SELECT qt.query_id, p.doc_id, qt.term, p.pos
+  FROM qt JOIN posn p ON p.term = qt.term
+),
+anchors AS (SELECT DISTINCT query_id, doc_id, pos AS e FROM tp),
+lastocc AS (
+  SELECT a.query_id, a.doc_id, a.e, t.term, max(t.pos) AS lp
+  FROM anchors a
+  JOIN tp t ON t.query_id = a.query_id AND t.doc_id = a.doc_id AND t.pos <= a.e
+  GROUP BY 1, 2, 3, 4
+),
+wins AS (
+  SELECT l.query_id, l.doc_id, l.e, min(l.lp) AS s
+  FROM lastocc l JOIN qn ON qn.query_id = l.query_id
+  GROUP BY 1, 2, 3, qn.n_terms
+  HAVING count(DISTINCT l.term) = qn.n_terms
+),
+best AS (
+  SELECT query_id, doc_id, s, e,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id ORDER BY (e - s) ASC, e ASC
+         ) AS wr
+  FROM wins
+),
+sc AS (
+  SELECT qt.query_id, p.doc_id, max(qt.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qt
+  JOIN post p ON p.term = qt.term
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE EXISTS (
+    SELECT 1 FROM wins w WHERE w.query_id = qt.query_id AND w.doc_id = p.doc_id
+  )
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT r.query_id, r.rank, r.doc_id, r.score,
+       CAST(bw.s AS BIGINT) AS win_start, CAST(bw.e AS BIGINT) AS win_end,
+       array_to_string(d.tk[bw.s + 1 : bw.e + 1], ' ') AS snippet
+FROM r
+JOIN best bw ON bw.query_id = r.query_id AND bw.doc_id = r.doc_id AND bw.wr = 1
+JOIN tkd d ON d.doc_id = r.doc_id
+WHERE r.rank <= r.k
 """
 
 
@@ -1675,6 +1831,10 @@ def registry() -> dict[str, tuple]:
         # allowed filter in ONE query string (the ES bool request);
         # oracle composes the per-feature CTEs
         "bm25_topk_composed": (bm25_composed, bm25_composed_oracle_sql()),
+        # ES/Lucene highlighter: conjunctive top-k + minimal covering
+        # window per hit + analyzed-token snippet; oracle = anchor-sweep
+        # argmin in SQL over 0-based positions
+        "search_highlight": (search_highlight_q, search_highlight_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

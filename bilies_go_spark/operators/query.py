@@ -337,27 +337,47 @@ def _composed_shard(
     k = int(pdf["k"].iloc[0])
     spec = json.loads(pdf["qspec"].iloc[0])
     phrases = [list(p) for p in spec.get("phrases", []) if p]
+    neg_phrases = [list(p) for p in spec.get("neg_phrases", []) if p]
 
-    per_term, quads, neg = {}, {}, set()
+    per_term, quads, neg, vonly = {}, {}, set(), set()
     for term, rows in pdf.groupby("term", sort=True):
         dfreq = int(rows["df"].iloc[0])
         per_term[term] = {
             "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
         }
-        if int(rows["neg"].iloc[0]):
+        nval = int(rows["neg"].iloc[0])
+        if nval == 1:
             neg.add(term)
+        elif nval == 2:
+            vonly.add(term)
         quad = _decode_slice_quad(rows, lo, hi, deleted)
         if quad is not None:
             quads[term] = quad
-    sterms = sorted(t for t in quads if t not in neg)
+    sterms = sorted(t for t in quads if t not in neg and t not in vonly)
     if not sterms:
         return empty
 
     # MUST_NOT: shard-local exclusion is exact (a doc's neg-term
-    # postings live in this shard)
+    # postings AND positions live in this shard) — negated-term ids and
+    # positionally verified negated-phrase matches union into one
+    # exclusion set; order vs. the kernel's progressive fold is
+    # irrelevant because exclusion is a union
     flt = deleted if isinstance(deleted, DocSetFilter) else DocSetFilter(deleted, None)
     excl_parts = [quads[t][0] for t in sorted(neg) if t in quads]
+    for p in neg_phrases:
+        pterms = sorted(set(p))
+        if any(t not in quads for t in pterms):
+            continue  # phrase term absent in shard -> no match to exclude
+        slots_n: dict[str, list[int]] = {}
+        for j, t in enumerate(p):
+            slots_n.setdefault(t, []).append(j)
+        slot_list = sorted(
+            (per_term[t]["df"], off, t) for t, offs in slots_n.items() for off in offs
+        )
+        matched = _verify_phrase(quads, slot_list)
+        if matched.size:
+            excl_parts.append(matched)
     if excl_parts:
         excl = np.unique(np.concatenate(excl_parts))
         tomb = excl if flt.deleted is None else np.union1d(flt.deleted, excl)
@@ -1285,6 +1305,143 @@ def _min_window_matched(quads: dict, terms: list[str], slop: int) -> np.ndarray:
     return _min_window_from_keys(keys_by_term, slop)
 
 
+def _best_window(quads: dict, terms: list[str]):
+    """Per-doc BEST minimal covering window over all ``terms``:
+    ``(docs, win_start, win_end)`` for every doc containing every term,
+    where ``[win_start, win_end]`` (0-based token positions, inclusive)
+    is the smallest-span window covering one occurrence of each term;
+    equal spans tie-break to the leftmost (smallest ``win_end``).
+
+    Same anchor sweep as :func:`_min_window_matched` — every term
+    occurrence is an anchor, each term's latest occurrence <= anchor
+    comes from one searchsorted — but keeping the per-doc argmin
+    instead of testing a slop bound.  The highlight/snippet primitive."""
+    e = np.empty(0, dtype=np.int64)
+    keys_by_term = {}
+    for t in terms:
+        ids, tfs, _dls, pos = quads[t]
+        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    arrs = list(keys_by_term.values())
+    if any(a.size == 0 for a in arrs):
+        return e, e, e
+    anchors = np.concatenate(arrs)
+    anchors.sort()
+    a_doc = anchors >> PHRASE_POS_SHIFT
+    a_pos = anchors & PHRASE_POS_MASK
+    ok = np.ones(anchors.size, dtype=bool)
+    win = a_pos.copy()  # anchor's own term trivially <= a
+    for kt in arrs:
+        # side='right': an anchor drawn from THIS term's array must
+        # find itself as its own latest occurrence
+        idx = np.searchsorted(kt, anchors, side="right") - 1
+        valid = idx >= 0
+        pred = kt[np.maximum(idx, 0)]
+        same = valid & ((pred >> PHRASE_POS_SHIFT) == a_doc)
+        ok &= same
+        win = np.minimum(win, np.where(same, pred & PHRASE_POS_MASK, 0))
+    if not ok.any():
+        return e, e, e
+    d, s, en = a_doc[ok], win[ok], a_pos[ok]
+    order = np.lexsort((en, en - s, d))  # per doc: min span, then leftmost
+    d, s, en = d[order], s[order], en[order]
+    first = np.concatenate([[True], d[1:] != d[:-1]])
+    return d[first], s[first], en[first]
+
+
+HIGHLIGHT_SCHEMA = (
+    "query_id bigint, rank int, doc_id bigint, score double, "
+    "win_start bigint, win_end bigint"
+)
+
+
+def highlight_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """Conjunctive (AND) top-k with highlight windows over a POSITIONAL
+    index — the ES/Lucene highlighter surface: for each of the query's
+    top-k matches, the minimal token window covering one occurrence of
+    every query term ([win_start, win_end], 0-based inclusive; equal
+    spans tie-break leftmost).
+
+    Candidate generation and scoring are exactly the conjunctive
+    pipeline (rarest-term candidates, O(df_min)); the window argmin is
+    :func:`_best_window` over the candidate quads — cost bounded by
+    candidate positions, never full posting lists.  Expects an
+    ``n_terms`` column."""
+    empty = pd.DataFrame(
+        {
+            "query_id": [], "rank": [], "doc_id": [], "score": [],
+            "win_start": [], "win_end": [],
+        }
+    ).astype(
+        {
+            "query_id": "int64", "rank": "int32", "doc_id": "int64",
+            "score": "float64", "win_start": "int64", "win_end": "int64",
+        }
+    )
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "highlight query requires an index built with BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+
+    cand, quads = _positional_candidates(per_term, terms, stats, deleted)
+    if cand.size == 0:
+        return empty
+    docs_w, ws, we = _best_window(quads, terms)
+    if docs_w.size == 0:
+        return empty
+
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=docs_w)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    sel_docs = doc[sel]
+    widx = np.searchsorted(docs_w, sel_docs)  # docs_w ascends by construction
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": sel_docs,
+            "score": acc[sel],
+            "win_start": ws[widx],
+            "win_end": we[widx],
+        }
+    )
+
+
 def proximity_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -1399,8 +1556,12 @@ def composed_query_kernel(
        without phrases, the standard block-max pruned OR kernel runs
        with the exclusion-augmented filter.
 
-    Eligibility: (all phrases) AND (no negated term) AND (in the
-    allowed set) AND (>=1 scoring term — implied when phrases exist).
+    Eligibility: (all phrases) AND (no negated term) AND (no negated
+    phrase — positionally verified matches fold into the exclusion
+    filter exactly like negated terms; their terms ride as
+    verification-only rows, ``neg == 2``, neither scored nor
+    term-excluded) AND (in the allowed set) AND (>=1 scoring term —
+    implied when phrases exist).
     Score: Σ over scoring terms present, same pinned ascending-term
     float64 fold as every other kernel.
 
@@ -1419,10 +1580,12 @@ def composed_query_kernel(
     k = int(pdf["k"].iloc[0])
     spec = json.loads(pdf["qspec"].iloc[0])
     phrases = [list(p) for p in spec.get("phrases", []) if p]
+    neg_phrases = [list(p) for p in spec.get("neg_phrases", []) if p]
     stats = stats if stats is not None else KernelStats()
 
     per_term: dict[str, dict] = {}
     neg: set[str] = set()
+    vonly: set[str] = set()  # verification-only: negated-phrase terms
     # single groupby pass (wide expansions make per-term boolean
     # filtering quadratic in the term count)
     for term, rows in pdf.groupby("term", sort=False):
@@ -1432,12 +1595,15 @@ def composed_query_kernel(
             "df": dfreq,
             "runs": [row_to_segment(r) for _, r in rows.iterrows()],
         }
-        if int(rows["neg"].iloc[0]):
+        nval = int(rows["neg"].iloc[0])
+        if nval == 1:
             neg.add(term)
+        elif nval == 2:
+            vonly.add(term)
         stats.blocks_total += sum(
             len(seg.block_last_doc_id) for seg in per_term[term]["runs"]
         )
-    sterms = sorted(t for t in per_term if t not in neg)
+    sterms = sorted(t for t in per_term if t not in neg and t not in vonly)
     if not sterms:
         return empty
 
@@ -1456,6 +1622,38 @@ def composed_query_kernel(
         excl = np.unique(np.concatenate(excl_parts))
         tomb = excl if flt.deleted is None else np.union1d(flt.deleted, excl)
         flt = DocSetFilter(tomb, flt.allowed)
+
+    # 1b. MUST_NOT phrases -> positionally verified matches join the
+    # exclusion side (exclusion is a union, so evaluating each negated
+    # phrase under the progressively augmented filter is order-safe)
+    for p in neg_phrases:
+        pterms = sorted(set(p))
+        if any(t not in per_term for t in pterms):
+            continue  # a phrase term matches no document -> nothing to exclude
+        if not all(
+            seg.has_positions for t in pterms for seg in per_term[t]["runs"]
+        ):
+            raise ValueError(
+                "composed phrase clauses need an index built with "
+                "BuildConfig(positions=True)"
+            )
+        c_p, quads = _positional_candidates(per_term, pterms, stats, flt)
+        if c_p.size == 0:
+            continue
+        slots_n: dict[str, list[int]] = {}
+        for j, t in enumerate(p):
+            slots_n.setdefault(t, []).append(j)
+        slot_list = sorted(
+            (per_term[t]["df"], off, t) for t, offs in slots_n.items() for off in offs
+        )
+        matched = _verify_phrase(quads, slot_list)
+        if matched.size:
+            tomb = (
+                matched
+                if flt.deleted is None
+                else np.union1d(flt.deleted, matched)
+            )
+            flt = DocSetFilter(tomb, flt.allowed)
 
     # 2. MUST phrases -> intersected candidate set
     cand: np.ndarray | None = None
@@ -2229,6 +2427,26 @@ class QueryEngine:
         par = max(self.spark.sparkContext.defaultParallelism, 1)
         return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
 
+    def _auto_shards_qt(self, qt_pdf: pd.DataFrame) -> int:
+        """:meth:`_auto_shards` over an already-expanded query-terms
+        frame (phrase / proximity / composed — where the involved terms
+        are exact, including expansions, rather than re-tokenized from
+        the query text).  Same rule: heaviest query's Σ df picks the
+        intra-query parallelism; light batches stay one-task-per-query."""
+        terms = sorted(qt_pdf["term"].unique())
+        if not terms:
+            return 1
+        df_map = self.term_dfs(terms)
+        vol = max(
+            (
+                int(sum(df_map.get(t, 0) for t in set(g["term"])))
+                for _, g in qt_pdf.groupby("query_id")
+            ),
+            default=0,
+        )
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
+
     def topk_distributed(
         self,
         queries: pd.DataFrame,
@@ -2515,9 +2733,12 @@ class QueryEngine:
         the doc-range-sharded plan (:meth:`topk_phrase_sharded`) that
         parallelizes WITHIN a query — the plan for all-hot phrases at
         10^12 docs, where even the rarest term's full posting list is
-        too big for one task.  ``mode='local'``: the driver-side
-        serving path (pyarrow fetch + LRU term cache, no Spark job).
-        All paths are result-identical."""
+        too big for one task; ``n_shards=None`` picks automatically
+        from the heaviest query's estimated posting volume
+        (:meth:`_auto_shards_qt`), so the all-hot case never needs a
+        mode knob.  ``mode='local'``: the driver-side serving path
+        (pyarrow fetch + LRU term cache, no Spark job).  All paths are
+        result-identical."""
         if not self.meta.get("positions", False):
             raise ValueError(
                 "phrase queries need an index built with BuildConfig(positions=True)"
@@ -2525,6 +2746,8 @@ class QueryEngine:
         qt_pdf = self._phrase_qt_rows(queries)
         if qt_pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if n_shards is None and mode == "distributed":
+            n_shards = self._auto_shards_qt(qt_pdf)
         if n_shards is not None and n_shards > 1:
             return self.topk_phrase_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
@@ -2629,7 +2852,8 @@ class QueryEngine:
         switches to the doc-range-sharded plan
         (:meth:`topk_proximity_sharded`) — the plan for all-hot
         proximity at 10^12 docs, where even the rarest term's full
-        posting list is too big for one task."""
+        posting list is too big for one task; ``n_shards=None`` picks
+        automatically from the estimated posting volume."""
         from bilies_go_spark.functions.tokenize import tokenize_py
 
         if not self.meta.get("positions", False):
@@ -2644,6 +2868,8 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
+        if n_shards is None and mode == "distributed":
+            n_shards = self._auto_shards_qt(qt_pdf)
         if n_shards is not None and n_shards > 1:
             return self.topk_proximity_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
@@ -2737,6 +2963,77 @@ class QueryEngine:
             shard_kernel, schema=TOPK_SCHEMA
         )
         return self._merge_shard_topk(partial, queries)
+
+    def search_highlight(
+        self, queries: pd.DataFrame, docs_df: "DataFrame | None" = None
+    ) -> DataFrame:
+        """Conjunctive top-k with highlight windows — the ES/Lucene
+        highlighter surface: for each of a query's top-k AND-matches,
+        the minimal token window covering one occurrence of every query
+        term (0-based inclusive ``[win_start, win_end]``; equal spans
+        tie-break leftmost), via :func:`highlight_query_kernel`.
+
+        With ``docs_df`` (``doc_id, text``) the analyzed-token snippet
+        for the window rides along as a ``snippet`` column: the top-k
+        result (k·|queries| rows) broadcasts into a join against the
+        docs scan, so the text side never shuffles.  Positional index
+        required; cost is candidate-bounded like proximity (and the
+        doc-range-sharded pattern applies unchanged if an all-hot
+        highlight query ever needs intra-query parallelism)."""
+        from bilies_go_spark.functions.tokenize import tokenize_col, tokenize_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "highlight queries need an index built with BuildConfig(positions=True)"
+            )
+        rows = []
+        for r in queries.itertuples(index=False):
+            qts = sorted(set(tokenize_py(r.text)))
+            for t in qts:
+                rows.append((int(r.query_id), t, int(r.k), len(qts)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=HIGHLIGHT_SCHEMA)
+        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms"])
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int, n_terms int"
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return highlight_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        out = joined.groupBy("query_id").applyInPandas(kernel, schema=HIGHLIGHT_SCHEMA)
+        if docs_df is None:
+            return out
+        toks = docs_df.select("doc_id", tokenize_col("text").alias("tk"))
+        return F.broadcast(out).join(toks, "doc_id").select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "win_start",
+            "win_end",
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    F.col("win_start").cast("int") + F.lit(1),
+                    (F.col("win_end") - F.col("win_start")).cast("int") + F.lit(1),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
 
     def match_ids(
         self, queries: pd.DataFrame, allowed: "np.ndarray | None" = None
@@ -3064,25 +3361,38 @@ class QueryEngine:
     # -- composed (bool) queries -----------------------------------------------
 
     _PHRASE_RE = re.compile(r'"([^"]*)"')
+    _NEG_PHRASE_RE = re.compile(r'-\s*"([^"]*)"')
 
     @staticmethod
     def _parse_composed_query(text: str) -> dict:
         """Lucene-bool-style mini-language, one string:
 
         * ``"quoted tokens"``  -> MUST phrase clause (positional)
+        * ``-"quoted tokens"`` -> MUST_NOT phrase clause (positional)
         * ``-tok``             -> MUST_NOT term
         * ``tok*``             -> prefix expansion (SHOULD)
         * ``tok~``             -> fuzzy (Levenshtein<=1) expansion (SHOULD)
         * bare tokens          -> SHOULD terms (scoring)
 
-        Returns ``{"phrases", "should", "prefix", "fuzzy", "neg"}`` of
-        analyzer-normalized tokens.  Negated phrases are rejected (not
-        supported)."""
+        Returns ``{"phrases", "should", "prefix", "fuzzy", "neg",
+        "neg_phrases"}`` of analyzer-normalized tokens.  A negated
+        phrase that normalizes to a single token folds into ``neg``
+        (identical semantics, no positional work)."""
         from bilies_go_spark.functions.tokenize import tokenize_py
 
-        if re.search(r'-\s*"', " " + text):
-            raise ValueError("negated phrase clauses are not supported")
         phrases: list[list[str]] = []
+        neg_phrases: list[list[str]] = []
+        neg: list[str] = []
+
+        def _grab_neg(m):
+            toks = tokenize_py(m.group(1))
+            if len(toks) == 1:
+                neg.append(toks[0])
+            elif toks:
+                neg_phrases.append(toks)
+            return " "
+
+        rest = QueryEngine._NEG_PHRASE_RE.sub(_grab_neg, text)
 
         def _grab(m):
             toks = tokenize_py(m.group(1))
@@ -3090,9 +3400,8 @@ class QueryEngine:
                 phrases.append(toks)
             return " "
 
-        rest = QueryEngine._PHRASE_RE.sub(_grab, text)
+        rest = QueryEngine._PHRASE_RE.sub(_grab, rest)
         should: list[str] = []
-        neg: list[str] = []
         prefix: list[str] = []
         fuzzy: list[str] = []
         for piece in rest.split():
@@ -3119,6 +3428,7 @@ class QueryEngine:
             "prefix": prefix,
             "fuzzy": fuzzy,
             "neg": neg,
+            "neg_phrases": neg_phrases,
         }
 
     def topk_composed(
@@ -3128,16 +3438,20 @@ class QueryEngine:
         mode: str = "distributed",
         n_shards: int | None = None,
     ) -> DataFrame:
-        """Composed search: ONE query string mixing phrase + MUST_NOT +
-        prefix + fuzzy + bare terms, optionally under an allowed-set
-        filter — the ES ``bool`` request surface the reference's users
-        write, served by :func:`composed_query_kernel`.
+        """Composed search: ONE query string mixing phrase + negated
+        phrase (``-"..."``) + MUST_NOT term + prefix + fuzzy + bare
+        terms, optionally under an allowed-set filter — the ES ``bool``
+        request surface the reference's users write, served by
+        :func:`composed_query_kernel`.
 
         Expansion (prefix dictionary range scan, fuzzy SymSpell join)
         happens once per batch up front; the plan is then the standard
         pruned-scan + broadcast-join with one kernel task per query
         (``mode='local'``: the driver-side serving path through the LRU
-        term cache).  Phrase clauses need a positional index."""
+        term cache).  ``n_shards=None`` on a positional index picks the
+        doc-range-sharded plan automatically from the estimated posting
+        volume, like the other kernels.  Phrase clauses (positive or
+        negated) need a positional index."""
         parsed = {
             int(r.query_id): self._parse_composed_query(r.text)
             for r in queries.itertuples(index=False)
@@ -3151,6 +3465,7 @@ class QueryEngine:
         for r in queries.itertuples(index=False):
             s = parsed[int(r.query_id)]
             negs = sorted(set(s["neg"]))
+            negp = [list(p) for p in s["neg_phrases"]]
             should = set(s["should"])
             for p in s["prefix"]:
                 should.update(pre_exp.get(p, []))
@@ -3160,13 +3475,27 @@ class QueryEngine:
             # qspec carries ONLY the phrases: SHOULD expansions can run
             # to thousands of terms, and a per-row JSON copy of them
             # would blow the broadcast up quadratically
-            spec = json.dumps({"phrases": s["phrases"]}, sort_keys=True)
-            if s["phrases"]:
+            spec = json.dumps(
+                {"phrases": s["phrases"], "neg_phrases": negp}, sort_keys=True
+            )
+            if s["phrases"] or negp:
                 any_phrase = True
-            involved = sorted(should | set(negs) | {t for p in s["phrases"] for t in p})
+            pos_terms = {t for p in s["phrases"] for t in p}
+            vterms = {t for p in negp for t in p}
+            involved = sorted(should | set(negs) | pos_terms | vterms)
             negset = set(negs)
+            # role 2 = verification-only: the term appears ONLY inside a
+            # negated phrase, so its postings are decoded for positional
+            # exclusion but it is neither scored nor term-excluded
             for t in involved:
-                rows.append((int(r.query_id), t, int(r.k), int(t in negset), spec))
+                role = (
+                    1
+                    if t in negset
+                    else 2
+                    if t in vterms and t not in should and t not in pos_terms
+                    else 0
+                )
+                rows.append((int(r.query_id), t, int(r.k), role, spec))
         if any_phrase and not self.meta.get("positions", False):
             raise ValueError(
                 "composed queries with phrase clauses need an index built "
@@ -3178,6 +3507,12 @@ class QueryEngine:
         flt = self._doc_filter(
             None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
         )
+        if (
+            n_shards is None
+            and mode == "distributed"
+            and self.meta.get("positions", False)
+        ):
+            n_shards = self._auto_shards_qt(qt_pdf)
         if n_shards is not None and n_shards > 1:
             return self.topk_composed_sharded(queries, qt_pdf, n_shards, flt)
         if mode == "local":

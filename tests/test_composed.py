@@ -77,6 +77,11 @@ def _brute_composed(
                 for p in s["phrases"]
             ):
                 continue
+            if any(
+                any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
+                for p in s["neg_phrases"]
+            ):
+                continue
             score = 0.0
             for term in sterms:
                 tf = t.count(term)
@@ -106,7 +111,7 @@ def pos_idx(spark, small_corpus, tmp_path_factory):
 
 COMPOSED = pd.DataFrame(
     {
-        "query_id": [0, 1, 2, 3, 4, 5, 6],
+        "query_id": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
         "text": [
             '"the of" -water',          # phrase + negation
             '"the of" wa*',             # phrase + prefix boost
@@ -115,8 +120,11 @@ COMPOSED = pd.DataFrame(
             "the water",                # degenerate plain OR
             '"zzqx the" the',           # unmatched phrase -> empty
             '"the the" -of wor*',       # repeated-term phrase + neg + prefix
+            'water -"the of"',          # negated phrase + bare
+            '"the of" -"of the" wa*',   # MUST phrase + negated phrase + prefix
+            'the -"zzqx zzqx"',         # absent negated phrase -> no-op
         ],
-        "k": [10, 10, 10, 10, 10, 10, 10],
+        "k": [10, 10, 10, 10, 10, 10, 10, 10, 10, 10],
     }
 )
 
@@ -147,6 +155,13 @@ def test_composed_matches_brute_and_local_equals_distributed(
     per_q = exp.groupby("query_id").size()
     assert per_q.get(0, 0) > 0 and per_q.get(1, 0) > 0 and per_q.get(2, 0) > 0
     assert per_q.get(5, 0) == 0
+    assert per_q.get(7, 0) > 0 and per_q.get(9, 0) > 0
+    # the negated phrase must be load-bearing on this fixture: dropping
+    # it from query 7 changes the matched doc set
+    plain = _brute_composed(
+        corpus_pdf, pd.DataFrame({"query_id": [0], "text": ["water"], "k": [10]})
+    )
+    assert set(plain["doc_id"]) != set(exp[exp["query_id"] == 7]["doc_id"])
 
 
 def test_composed_with_allowed_filter(spark, small_corpus, pos_idx):
@@ -186,10 +201,12 @@ def test_composed_sharded_equals_distributed(spark, small_corpus, pos_idx):
 
 def test_composed_error_surface(spark, small_corpus, pos_idx, tmp_path):
     eng = QueryEngine(spark, pos_idx)
-    with pytest.raises(ValueError, match="negated phrase"):
-        eng.topk_composed(
-            pd.DataFrame({"query_id": [0], "text": ['-"the of"'], "k": [5]})
-        )
+    # MUST_NOT-phrase-only query: no scoring clause -> empty (Lucene's
+    # MUST_NOT-only behavior, same as the boolean kernel's neg-only path)
+    only_neg = eng.topk_composed(
+        pd.DataFrame({"query_id": [0], "text": ['-"the of"'], "k": [5]})
+    ).toPandas()
+    assert len(only_neg) == 0
     # phrase clause against a positions-free index must raise
     d = str(tmp_path / "nopos_idx")
     build_index(
@@ -201,6 +218,11 @@ def test_composed_error_surface(spark, small_corpus, pos_idx, tmp_path):
     with pytest.raises(ValueError, match="positions"):
         QueryEngine(spark, d).topk_composed(
             pd.DataFrame({"query_id": [0], "text": ['"the of"'], "k": [5]})
+        )
+    # ...and so must a negated phrase clause (positional verification)
+    with pytest.raises(ValueError, match="positions"):
+        QueryEngine(spark, d).topk_composed(
+            pd.DataFrame({"query_id": [0], "text": ['water -"the of"'], "k": [5]})
         )
     # ...but phrase-free composed queries work on any index
     got = QueryEngine(spark, d).topk_composed(

@@ -416,6 +416,121 @@ def test_proximity_sharded_equals_distributed(spark, pos_index_dir):
     assert len(dist)
 
 
+def _brute_highlight(corpus_pdf, queries, k1=K1_DEFAULT, b=B_DEFAULT):
+    """Reference: conjunctive BM25 top-k; per hit the minimal covering
+    window over all query terms (equal spans -> leftmost) and its token
+    snippet."""
+    toks = {int(r.doc_id): tokenize_py(r.text) for r in corpus_pdf.itertuples(index=False)}
+    toks = {d: t for d, t in toks.items() if t}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for q in queries.itertuples(index=False):
+        qts = sorted(set(tokenize_py(q.text)))
+        scored = []
+        for d, t in toks.items():
+            if not all(term in t for term in qts):
+                continue
+            score = 0.0
+            for term in qts:
+                tf = t.count(term)
+                idf = np.log1p((n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                score += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(t) / avgdl))
+                )
+            best = None  # (span, end, start)
+            for e_idx, tok in enumerate(t):
+                if tok not in qts:
+                    continue
+                last = {}
+                for term in qts:
+                    occ = [i for i in range(e_idx + 1) if t[i] == term]
+                    if not occ:
+                        last = None
+                        break
+                    last[term] = occ[-1]
+                if last is None:
+                    continue
+                s = min(last.values())
+                cand = (e_idx - s, e_idx, s)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+            assert best is not None
+            scored.append((d, score, best[2], best[1], " ".join(t[best[2] : best[1] + 1])))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, sc, s, e, snip) in enumerate(scored[: int(q.k)], 1):
+            out.append((int(q.query_id), rank, d, sc, s, e, snip))
+    return pd.DataFrame(
+        out,
+        columns=["query_id", "rank", "doc_id", "score", "win_start", "win_end", "snippet"],
+    )
+
+
+def test_highlight_windows_match_brute(spark, small_corpus, pos_index_dir):
+    """search_highlight: conjunctive top-k, minimal covering window
+    (leftmost tie-break), and analyzed-token snippet all equal the
+    pure-Python argmin reference; absent-term query returns empty."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["the of", "water", "the of water", "zzqx the"],
+            "k": [8, 5, 8, 5],
+        }
+    )
+    exp = _brute_highlight(corpus_pdf, queries)
+    eng = QueryEngine(spark, pos_index_dir)
+    got = (
+        eng.search_highlight(queries, docs_df=small_corpus.select("doc_id", "text"))
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ("query_id", "doc_id", "win_start", "win_end", "snippet"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    assert (exp.groupby("query_id").size().get(0, 0) or 0) > 0
+    assert (exp.groupby("query_id").size().get(3, 0) or 0) == 0
+    # windows-only surface (no docs_df): same rows, no snippet column
+    wins = eng.search_highlight(queries).toPandas()
+    assert "snippet" not in wins.columns and len(wins) >= len(exp)
+
+
+def test_auto_sharding_picks_and_matches(spark, pos_index_dir):
+    """``n_shards=None`` (the distributed default) picks the shard
+    count from the heaviest query's estimated posting volume: on this
+    small corpus it stays at the one-task plan, and with the target
+    forced down it routes through the sharded plan with identical
+    results — the all-hot 10^12-doc case needs no mode knob."""
+    key = ["query_id", "rank"]
+    eng = QueryEngine(spark, pos_index_dir)
+    assert eng._auto_shards_qt(eng._phrase_qt_rows(PHRASES)) == 1
+    base = eng.topk_phrase(PHRASES).toPandas()
+
+    forced = QueryEngine(spark, pos_index_dir)
+    forced.SHARD_TARGET_POSTINGS = 1  # every posting volume counts as hot
+    assert forced._auto_shards_qt(forced._phrase_qt_rows(PHRASES)) > 1
+    auto = forced.topk_phrase(PHRASES).toPandas()
+    pd.testing.assert_frame_equal(
+        auto.sort_values(key).reset_index(drop=True),
+        base.sort_values(key).reset_index(drop=True),
+    )
+    prox_base = eng.topk_proximity(PROX).toPandas()
+    prox_auto = forced.topk_proximity(PROX).toPandas()
+    pd.testing.assert_frame_equal(
+        prox_auto.sort_values(key).reset_index(drop=True),
+        prox_base.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_boolean_negation_matches_brute(spark, small_corpus, pos_index_dir):
     """topk_boolean: OR of positive terms, docs with ANY negated term
     excluded — equals brute, and local == distributed."""
