@@ -517,6 +517,64 @@ def _proximity_shard(
     )
 
 
+def _highlight_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Highlight scoring for one (query, shard): decode every slice
+    with positions, keep docs in [lo, hi), take the per-doc best-window
+    argmin, fold, shard top-k.  Shard-exact for the same reason as
+    :func:`_proximity_shard` — the window argmin is doc-local, so each
+    selected doc's (win_start, win_end) is identical to the one-task
+    plan's regardless of which shard computed it."""
+    empty = pd.DataFrame(
+        {
+            "query_id": [], "rank": [], "doc_id": [], "score": [],
+            "win_start": [], "win_end": [],
+        }
+    ).astype(
+        {
+            "query_id": "int64", "rank": "int32", "doc_id": "int64",
+            "score": "float64", "win_start": "int64", "win_end": "int64",
+        }
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    dec = _decode_pos_shard(pdf, lo, hi, n_docs, deleted)
+    if dec is None:
+        return empty
+    terms, per_term, quads = dec
+    docs_w, ws, we = _best_window(quads, terms)
+    if docs_w.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=docs_w)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    sel_docs = doc[sel]
+    widx = np.searchsorted(docs_w, sel_docs)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": sel_docs,
+            "score": acc[sel],
+            "win_start": ws[widx],
+            "win_end": we[widx],
+        }
+    )
+
+
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
@@ -1251,6 +1309,15 @@ def _min_window_from_keys(keys_by_term: dict, slop: int) -> np.ndarray:
     shift/mask (the stride is 2^21)."""
     e = np.empty(0, dtype=np.int64)
     arrs = list(keys_by_term.values())
+    if len(arrs) == 1:
+        # degenerate single-term query: any occurrence is a zero-span
+        # window, so the match set is just the term's docs — skip the
+        # sweep (and its occurrence-sized temporaries) entirely
+        ka = arrs[0]
+        if ka.size == 0:
+            return e
+        d = ka >> PHRASE_POS_SHIFT
+        return d[np.concatenate([[True], d[1:] != d[:-1]])]
     matched_parts = []
     for i, ka in enumerate(arrs):
         if ka.size == 0:
@@ -2100,9 +2167,8 @@ class _SegmentCache:
 
 
 class _ContribCache:
-    """Byte-capped FILL-ONCE cache (no eviction): term -> DENSE per-doc
-    BM25 contribution array (``arr[doc_id] = idf(term) * tf_norm(tf,
-    dl)``, float64).
+    """Byte-capped LRU cache: term -> DENSE per-doc BM25 contribution
+    array (``arr[doc_id] = idf(term) * tf_norm(tf, dl)``, float64).
 
     The serving-path answer to stopword-class queries, where block-max
     pruning is structurally useless (every 128-doc block of a uniform
@@ -2119,19 +2185,36 @@ class _ContribCache:
     Arrays live in a lazily-grown, ``MADV_POPULATE_WRITE``-prefaulted
     arena (bump allocation): on this VM class a first-touch scatter
     into a fresh 16 MB array costs ~1.5 s of page faults, while
-    populate-prefault + memset costs ~0.1 s (see prefault_heap).  The
-    arena cannot reclaim evicted entries, so the cap is a hard budget:
-    when full, further terms simply stay uncached (callers fall back
-    to per-query decode)."""
+    populate-prefault + memset costs ~0.1 s (see prefault_heap).  When
+    the bump space is spent, least-recently-used entries are evicted
+    and their slots recycled best-fit — hot terms' dense arrays all
+    span nearly the full doc-id space, so slots are effectively
+    interchangeable, and a recycled slot is already faulted (no
+    repeat page-population cost).  Arena slots cannot merge, so an
+    entry larger than every recyclable slot stays uncached (callers
+    fall back to per-query decode).  Recycling is safe because serving
+    is synchronous per engine: no caller retains a cached view across
+    queries."""
 
     def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
         self.max_bytes = max_bytes
-        self._d: dict[str, np.ndarray] = {}
+        # term -> (float64 view, backing uint8 slot | None for tiny
+        # external arrays); insertion order == recency order
+        self._d: "OrderedDict[str, tuple[np.ndarray, np.ndarray | None]]" = (
+            OrderedDict()
+        )
+        self._free: list[np.ndarray] = []  # recyclable uint8 slots
         self._arena: np.ndarray | None = None
         self._off = 0
 
     def get(self, term: str) -> np.ndarray | None:
-        return self._d.get(term)
+        hit = self._d.get(term)
+        if hit is None:
+            return None
+        self._d.move_to_end(term)
+        return hit[0]
 
     @staticmethod
     def _populate(buf: np.ndarray, start: int, length: int) -> None:
@@ -2155,22 +2238,47 @@ class _ContribCache:
         except Exception:
             pass
 
-    def alloc_zeros(self, n: int) -> np.ndarray | None:
-        """A zeroed float64[n] view from the prefaulted arena, or None
-        when the budget is spent."""
+    def _take_free(self, nb: int) -> "np.ndarray | None":
+        """Smallest recyclable slot holding >= nb bytes (best fit)."""
+        best = None
+        for i, slot in enumerate(self._free):
+            if slot.nbytes >= nb and (best is None or slot.nbytes < self._free[best].nbytes):
+                best = i
+        return self._free.pop(best) if best is not None else None
+
+    def alloc_for(self, term: str, n: int) -> np.ndarray | None:
+        """A zeroed float64[n] view registered to ``term``: carved from
+        the bump arena while space remains, then recycled best-fit from
+        LRU-evicted slots; None when no slot can hold it (stay on the
+        kernel path)."""
         nb = 8 * n
+        if nb > self.max_bytes:
+            return None
         if self._arena is None:
             self._arena = np.empty(self.max_bytes, dtype=np.uint8)
-        if self._off + nb > self.max_bytes:
-            return None
-        self._populate(self._arena, self._off, nb)
-        v = self._arena[self._off : self._off + nb].view(np.float64)
-        self._off += nb
+        slot = None
+        if self._off + nb <= self.max_bytes:
+            slot = self._arena[self._off : self._off + nb]
+            self._off += nb
+            self._populate(self._arena, self._off - nb, nb)  # fault once, up front
+        else:
+            slot = self._take_free(nb)
+            while slot is None and self._d:
+                _, (_, old_slot) = self._d.popitem(last=False)  # evict LRU
+                if old_slot is not None:
+                    self._free.append(old_slot)
+                slot = self._take_free(nb)
+            if slot is None:
+                return None
+        v = slot[:nb].view(np.float64)
         v[:] = 0.0
+        self._d[term] = (v, slot)
         return v
 
     def put(self, term: str, arr: np.ndarray) -> None:
-        self._d[term] = arr
+        """Register a tiny external array (e.g. the empty-term marker);
+        its storage is not arena-backed and never recycled."""
+        self._d[term] = (arr, None)
 
 
 class _PosCache:
@@ -2639,8 +2747,48 @@ class QueryEngine:
                 )
                 matched = _verify_phrase_keys(keys_by_term, slot_list)
             else:
+                # conjunctive doc-candidate restriction (kernel parity)
+                # before the O(Σ occurrences · T) window sweep.  The
+                # intersection runs over the df-sized posting-id arrays
+                # (never the occurrence-sized keys), and each term's key
+                # array is shrunk by PER-CANDIDATE RANGE GATHER —
+                # O(|cand| log n + |out|), no occurrence-sized temporary
+                # — and only when the candidates actually shrink it
+                # (>= 4x fewer docs); an all-common stopword query skips
+                # the gather entirely and sweeps the cached arrays
+                # as-is.  Mixed rare+hot queries drop from tens of
+                # seconds to the rare term's own cost.
+                sdocs = {t: np.sort(entries[t][0]) for t in terms}
+                cand = None
+                for t in sorted(terms, key=lambda x: sdocs[x].size):
+                    d = sdocs[t]
+                    if cand is None:
+                        cand = d
+                    else:
+                        pidx = np.minimum(np.searchsorted(d, cand), d.size - 1)
+                        cand = cand[d[pidx] == cand]
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
+                    continue
+                kbt = {}
+                for t in terms:
+                    kt = keys_by_term[t]
+                    if cand.size * 4 >= sdocs[t].size:
+                        kbt[t] = kt  # restriction would barely shrink it
+                        continue
+                    lo = np.searchsorted(kt, cand << PHRASE_POS_SHIFT)
+                    hi = np.searchsorted(kt, (cand + 1) << PHRASE_POS_SHIFT)
+                    lens = hi - lo
+                    nz = lens > 0
+                    lo, lens = lo[nz], lens[nz]
+                    total = int(lens.sum())
+                    idx = np.repeat(lo - (np.cumsum(lens) - lens), lens) + np.arange(
+                        total
+                    )
+                    kbt[t] = kt[idx]
                 matched = _min_window_from_keys(
-                    keys_by_term, int(qrows["slop"].iloc[0])
+                    kbt, int(qrows["slop"].iloc[0])
                 )
             if matched.size == 0:
                 continue
@@ -2964,8 +3112,71 @@ class QueryEngine:
         )
         return self._merge_shard_topk(partial, queries)
 
+    def topk_highlight_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded highlight plan: the same four-stream
+        block-boundary slicing as phrase/proximity, with the per-doc
+        best-window argmin run inside each (query, shard).  Exact
+        because the argmin is doc-local — a doc's postings AND
+        positions land in one shard, so its (win_start, win_end) is
+        identical to the one-task plan's and rides through the window
+        merge untouched.  No task ever holds a full hot-term posting
+        list."""
+        qt = self.spark.createDataFrame(
+            qt_pdf, schema="query_id bigint, term string, k int, n_terms int"
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        slice_schema = (
+            "query_id bigint, k int, n_terms int, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(pdf, bounds, extra_cols=("n_terms",))
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _highlight_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=HIGHLIGHT_SCHEMA
+        )
+        return self._merge_shard_topk(
+            partial, queries, extra_cols=("win_start", "win_end")
+        )
+
     def search_highlight(
-        self, queries: pd.DataFrame, docs_df: "DataFrame | None" = None
+        self,
+        queries: pd.DataFrame,
+        docs_df: "DataFrame | None" = None,
+        n_shards: int | None = None,
     ) -> DataFrame:
         """Conjunctive top-k with highlight windows — the ES/Lucene
         highlighter surface: for each of a query's top-k AND-matches,
@@ -2977,9 +3188,11 @@ class QueryEngine:
         for the window rides along as a ``snippet`` column: the top-k
         result (k·|queries| rows) broadcasts into a join against the
         docs scan, so the text side never shuffles.  Positional index
-        required; cost is candidate-bounded like proximity (and the
-        doc-range-sharded pattern applies unchanged if an all-hot
-        highlight query ever needs intra-query parallelism)."""
+        required.  ``n_shards=None`` picks the doc-range-sharded plan
+        (:meth:`topk_highlight_sharded`) automatically from the
+        estimated posting volume, like phrase/proximity/composed —
+        windows are doc-local, so they ride through the shard merge
+        exactly."""
         from bilies_go_spark.functions.tokenize import tokenize_col, tokenize_py
 
         if not self.meta.get("positions", False):
@@ -2994,27 +3207,36 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=HIGHLIGHT_SCHEMA)
         qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms"])
-        qt = self.spark.createDataFrame(
-            qt_pdf, schema="query_id bigint, term string, k int, n_terms int"
-        )
-        terms, buckets = self._terms_and_buckets(queries)
-        segs = self._segments_df(terms, buckets)
-        tstats = self._tstats_df(terms, buckets)
-        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
-        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
-        margin = self.tie_margin
-        deleted = self.deleted
-
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
-            return highlight_query_kernel(
-                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if n_shards > 1:
+            out = self.topk_highlight_sharded(queries, qt_pdf, n_shards)
+        else:
+            qt = self.spark.createDataFrame(
+                qt_pdf, schema="query_id bigint, term string, k int, n_terms int"
             )
+            terms, buckets = self._terms_and_buckets(queries)
+            segs = self._segments_df(terms, buckets)
+            tstats = self._tstats_df(terms, buckets)
+            joined = segs.join(F.broadcast(qt), "term").join(
+                F.broadcast(tstats), "term"
+            )
+            k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+            margin = self.tie_margin
+            deleted = self.deleted
 
-        out = joined.groupBy("query_id").applyInPandas(kernel, schema=HIGHLIGHT_SCHEMA)
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                import bilies_go_spark
+
+                need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+                bilies_go_spark.prefault_heap(min(need, 384 << 20))
+                return highlight_query_kernel(
+                    pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+                )
+
+            out = joined.groupBy("query_id").applyInPandas(
+                kernel, schema=HIGHLIGHT_SCHEMA
+            )
         if docs_df is None:
             return out
         toks = docs_df.select("doc_id", tokenize_col("text").alias("tk"))
@@ -3697,10 +3919,18 @@ class QueryEngine:
         )
         return self._merge_shard_topk(partial, queries)
 
-    def _merge_shard_topk(self, partial: DataFrame, queries: pd.DataFrame) -> DataFrame:
+    def _merge_shard_topk(
+        self,
+        partial: DataFrame,
+        queries: pd.DataFrame,
+        extra_cols: tuple = (),
+    ) -> DataFrame:
         """Global top-k from per-(query, shard) partials: one window
         over n_shards * k tiny rows, honoring the tie margin (shard-kth
-        <= global kth, so margin extras always survive the merge)."""
+        <= global kth, so margin extras always survive the merge).
+        ``extra_cols`` ride through unchanged — valid for doc-local
+        payloads (e.g. highlight windows), where every shard computes
+        the same value for a given doc."""
         margin = self.tie_margin
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         kdf = F.broadcast(
@@ -3713,6 +3943,7 @@ class QueryEngine:
             .join(kdf, "query_id")
             .withColumn("rank", F.row_number().over(w))
         )
+        cols = ["query_id", "rank", "doc_id", "score", *extra_cols]
         if margin > 0.0:
             # margin semantics (see _topk_select): keep every doc within
             # the margin of the kth raw score, so a downstream rounded
@@ -3724,10 +3955,8 @@ class QueryEngine:
             keep = (F.col("rank") <= F.col("k")) | (
                 F.col("score") >= kth - F.lit(margin)
             )
-            return ranked.filter(keep).select("query_id", "rank", "doc_id", "score")
-        return ranked.filter(F.col("rank") <= F.col("k")).select(
-            "query_id", "rank", "doc_id", "score"
-        )
+            return ranked.filter(keep).select(*cols)
+        return ranked.filter(F.col("rank") <= F.col("k")).select(*cols)
 
     # -- driver-local serving path -------------------------------------------
 
@@ -3806,13 +4035,12 @@ class QueryEngine:
             return None
         dfreq = int(rows["df"].iloc[0])
         idf = float(np.log1p((self.n_docs - dfreq + 0.5) / (dfreq + 0.5)))
-        arr = self.contrib_cache.alloc_zeros(mx + 1)
+        arr = self.contrib_cache.alloc_for(term, mx + 1)
         if arr is None:
-            return None  # cache budget spent — stay on the kernel path
+            return None  # no slot can hold it — stay on the kernel path
         # one posting per (term, doc) — salted runs and tiers partition
         # the doc space — so plain assignment is the exact scatter
         arr[ids] = idf * _tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
-        self.contrib_cache.put(term, arr)
         return arr
 
     def _topk_dense(self, qterms: list[str], pdf: pd.DataFrame, qid: int, k: int):

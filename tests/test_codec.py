@@ -116,3 +116,33 @@ def test_vbyte_two_byte_fast_path_correct_and_fast():
         return best
 
     assert rate(three_b) / rate(two_b) > 2.0
+
+
+def test_contrib_cache_lru_recycles_slots():
+    """_ContribCache: LRU eviction recycles arena slots best-fit, so
+    later hot terms displace stale ones instead of staying uncached
+    forever; an entry larger than every recyclable slot stays uncached."""
+    from bilies_go_spark.operators.query import _ContribCache
+
+    c = _ContribCache(max_bytes=8 * 30)  # room for three 10-float slots
+    a = c.alloc_for("t_a", 10)
+    b = c.alloc_for("t_b", 10)
+    d = c.alloc_for("t_c", 10)
+    for arr, val in ((a, 1.0), (b, 2.0), (d, 3.0)):
+        arr[:] = val
+    assert c.get("t_a")[0] == 1.0
+    # bump space spent: next alloc evicts the LRU entry (t_b — t_a was
+    # just touched) and recycles its slot
+    e = c.alloc_for("t_d", 10)
+    assert e is not None and e[0] == 0.0
+    e[:] = 4.0
+    assert c.get("t_b") is None
+    assert c.get("t_a")[0] == 1.0 and c.get("t_c")[0] == 3.0 and c.get("t_d")[0] == 4.0
+    # an entry bigger than every slot evicts everything it can, then
+    # gives up (slots cannot merge) — and the survivors are gone
+    assert c.alloc_for("t_huge", 25) is None
+    # smaller entries keep recycling freed 10-float slots
+    f = c.alloc_for("t_e", 8)
+    assert f is not None
+    f[:] = 5.0
+    assert c.get("t_e")[0] == 5.0

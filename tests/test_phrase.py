@@ -502,6 +502,18 @@ def test_highlight_windows_match_brute(spark, small_corpus, pos_index_dir):
     # windows-only surface (no docs_df): same rows, no snippet column
     wins = eng.search_highlight(queries).toPandas()
     assert "snippet" not in wins.columns and len(wins) >= len(exp)
+    # doc-range-sharded plan == one-task plan, window-for-window (the
+    # argmin is doc-local, so windows ride through the shard merge)
+    for n_shards in (3, 8):
+        shard = (
+            eng.search_highlight(
+                queries, docs_df=small_corpus.select("doc_id", "text"), n_shards=n_shards
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(shard, got, obj=f"n_shards={n_shards}")
 
 
 def test_auto_sharding_picks_and_matches(spark, pos_index_dir):
