@@ -1380,6 +1380,62 @@ WHERE r.rank <= r.k
 """
 
 
+# --- per-document term vectors ------------------------------------------------
+# The ES _termvectors surface: for a handful of doc ids, every term of
+# the doc with its in-doc tf and corpus-wide df.  Direction matters at
+# scale: the inverted index answers term->docs, not doc->terms, so the
+# doc side re-analyzes the named docs from the documents table (an
+# id-pruned scan — parquet stats skip everything else) while df comes
+# from the index's term-stats dictionary via driver-side pruned point
+# reads (QueryEngine.term_dfs) — never a full-index scan.
+
+TV_DOC_IDS: list[int] = [0, 7, 11, 23, 42]
+
+
+def doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, df) for each term of each requested doc —
+    tf from re-analysis of the id-pruned documents scan, df from the
+    index dictionary."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id").isin([int(i) for i in TV_DOC_IDS])
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = sorted({r["term"] for r in tf.select("term").distinct().collect()})
+    df_map = eng.term_dfs(terms)
+    df_df = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"term": terms, "df": [int(df_map.get(t, 0)) for t in terms]}
+            ),
+            schema="term string, df bigint",
+        )
+    )
+    return tf.join(df_df, "term").select("doc_id", "term", "tf", "df")
+
+
+def doc_term_vectors_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1)
+SELECT p.doc_id, p.term, CAST(p.tf AS BIGINT) AS tf, CAST(ts.df AS BIGINT) AS df
+FROM post p JOIN ts ON ts.term = p.term
+WHERE p.doc_id IN ({ids})
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -1835,6 +1891,9 @@ def registry() -> dict[str, tuple]:
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions
         "search_highlight": (search_highlight_q, search_highlight_oracle_sql()),
+        # ES _termvectors: per-doc (term, tf, corpus df) — id-pruned doc
+        # re-analysis + dictionary point reads, never a full-index scan
+        "doc_term_vectors": (doc_term_vectors, doc_term_vectors_oracle_sql()),
         # upsert gate: tombstoned old versions + re-ingested new
         # versions must match a pure-SQL oracle over the POST-update
         # corpus (stable-_id re-send semantics, batcher.go:91)

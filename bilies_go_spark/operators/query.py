@@ -2294,21 +2294,34 @@ class _PosCache:
     — even though the arrays depend only on the engine-pinned
     (segments, tombstones) view.  Caching the decoded, alive-filtered,
     pre-sorted arrays once turns a hot positional query into pure
-    searchsorted intersections.  Entries are immutable; the cap is a
-    hard budget (uncached terms fall back to per-query decode)."""
+    searchsorted intersections.  Entries are immutable and plain numpy
+    arrays, so eviction is just dropping the reference: the cache is a
+    byte-capped LRU — when a new hot term would overflow the budget,
+    least-recently-used entries are evicted until it fits (an entry
+    larger than the whole budget stays uncached).  Unlike
+    :class:`_ContribCache` there is no arena to fragment; the page-
+    fault cost of a fresh decode is paid anyway on the decode path."""
 
     def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
         self.max_bytes = max_bytes
-        self._d: dict[str, tuple] = {}
+        self._d: "OrderedDict[str, tuple]" = OrderedDict()
         self._bytes = 0
 
     def get(self, term: str):
-        return self._d.get(term)
+        hit = self._d.get(term)
+        if hit is not None:
+            self._d.move_to_end(term)
+        return hit
 
     def put(self, term: str, entry: tuple) -> bool:
         nb = sum(int(a.nbytes) for a in entry)
-        if self._bytes + nb > self.max_bytes:
+        if nb > self.max_bytes:
             return False
+        while self._bytes + nb > self.max_bytes and self._d:
+            _, old = self._d.popitem(last=False)  # evict LRU
+            self._bytes -= sum(int(a.nbytes) for a in old)
         self._d[term] = entry
         self._bytes += nb
         return True

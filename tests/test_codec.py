@@ -146,3 +146,22 @@ def test_contrib_cache_lru_recycles_slots():
     assert f is not None
     f[:] = 5.0
     assert c.get("t_e")[0] == 5.0
+
+
+def test_pos_cache_lru_evicts_by_bytes():
+    """_PosCache: byte-capped LRU — new hot entries evict the least
+    recently used until they fit; oversized entries stay uncached."""
+    import numpy as np
+
+    from bilies_go_spark.operators.query import _PosCache
+
+    def entry(nbytes):
+        return (np.zeros(nbytes // 8, dtype=np.int64),)
+
+    c = _PosCache(max_bytes=80)
+    assert c.put("a", entry(40)) and c.put("b", entry(40))
+    assert c.get("a") is not None  # touch: a is now most-recent
+    assert c.put("c", entry(40))   # evicts b (LRU), not a
+    assert c.get("b") is None and c.get("a") is not None and c.get("c") is not None
+    assert not c.put("huge", entry(200))  # over budget entirely: uncached
+    assert c.get("a") is not None  # and nothing was evicted for it

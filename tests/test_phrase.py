@@ -642,6 +642,55 @@ def test_phrase_on_streamed_tiered_index(spark, tmp_path):
     assert sorted(got[got.query_id == 1]["doc_id"]) == [2, 5]
 
 
+def test_composed_and_highlight_on_streamed_tiered_index(spark, tmp_path):
+    """The composed bool pipeline (incl. a negated phrase) and the
+    highlight windows answer identically over base + delta tiers as
+    they would over a batch-built index — the positional streams union
+    across tiers on every path."""
+    from bilies_go_spark.streaming.ingest import compact_tiered, start_ingest
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "beta alpha gamma"),
+        (2, "gamma alpha beta"),
+        (3, "alpha alpha beta beta"),
+        (4, "delta alpha beta delta"),
+        (5, "beta gamma alpha"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf, schema="doc_id bigint, text string").repartition(
+        3
+    ).write.parquet(src)
+    idx = str(tmp_path / "stream_pos_c")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100, positions=True
+    )
+    q = start_ingest(
+        spark, src, idx, cfg, max_files_per_trigger=1,
+        schema="doc_id bigint, text string",
+    )
+    q.awaitTermination()
+    compact_tiered(spark, idx, cfg)
+    eng = QueryEngine(spark, idx)
+    # composed: MUST phrase + negated phrase + bare SHOULD term
+    comp = eng.topk_composed(
+        pd.DataFrame(
+            {"query_id": [0], "text": ['"alpha beta" -"delta alpha" gamma'], "k": [10]}
+        )
+    ).toPandas()
+    # docs with "alpha beta": 0, 2, 3, 4; doc 4 contains "delta alpha"
+    assert sorted(comp["doc_id"]) == [0, 2, 3]
+    # highlight: window covers {beta, gamma} minimally, leftmost
+    hl = eng.search_highlight(
+        pd.DataFrame({"query_id": [0], "text": ["beta gamma"], "k": [10]})
+    ).toPandas()
+    by_doc = {int(r.doc_id): (int(r.win_start), int(r.win_end)) for r in hl.itertuples()}
+    # doc 0 "alpha beta gamma" -> [1, 2]; doc 5 "beta gamma alpha" -> [0, 1]
+    assert by_doc[0] == (1, 2) and by_doc[5] == (0, 1)
+    assert set(by_doc) == {0, 1, 2, 5}  # every doc containing both terms
+
+
 def test_phrase_requires_positional_index(spark, small_corpus, tmp_path):
     d = str(tmp_path / "plain")
     build_index(
