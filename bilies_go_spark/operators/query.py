@@ -2833,6 +2833,132 @@ class QueryEngine:
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
+    def _composed_local(self, qt_pdf: pd.DataFrame, flt) -> pd.DataFrame:
+        """Driver serving path for composed (bool) queries over the
+        positional key cache — the composed twin of :meth:`_pos_local`:
+        MUST/MUST_NOT phrase verification runs on cached pre-sorted
+        composite keys (:func:`_verify_phrase_keys`), term exclusions
+        and the allowed set fold into one :class:`DocSetFilter` applied
+        to the df-sized triples, and scoring is the pinned
+        ascending-term fold restricted to the eligible docs.
+        Result-identical to :func:`composed_query_kernel`
+        (pytest-pinned): verification on unfiltered keys is safe
+        because exclusion and the allowed set are doc-level — docs
+        dropped by the filter lose every scoring posting and vanish
+        exactly as the kernel's filter-first order drops them."""
+        from functools import reduce
+
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        if qt_pdf.empty:
+            return empty
+        seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+        if seg_pdf.empty:
+            return empty
+
+        def slot_list_of(p, df_map):
+            slots: dict[str, list[int]] = {}
+            for j, t in enumerate(p):
+                slots.setdefault(t, []).append(j)
+            return sorted(
+                (df_map[t], off, t) for t, offs in slots.items() for off in offs
+            )
+
+        outs = []
+        for qid, qrows in qt_pdf.groupby("query_id", sort=True):
+            spec = json.loads(qrows["qspec"].iloc[0])
+            phrases = [list(p) for p in spec.get("phrases", []) if p]
+            neg_phrases = [list(p) for p in spec.get("neg_phrases", []) if p]
+            k = int(qrows["k"].iloc[0])
+            roles = dict(zip(qrows["term"], qrows["neg"]))
+            entries, df_map = {}, {}
+            for t in sorted(roles):
+                rows = seg_pdf[seg_pdf["term"] == t]
+                if rows.empty:
+                    continue
+                ent = self._pos_entry(t, rows)
+                if ent[0].size:
+                    entries[t] = ent
+                    df_map[t] = int(rows["df"].iloc[0])
+            neg = {t for t, r in roles.items() if int(r) == 1}
+            vonly = {t for t, r in roles.items() if int(r) == 2}
+            sterms = sorted(t for t in entries if t not in neg and t not in vonly)
+            if not sterms:
+                continue
+            if any(any(t not in entries for t in set(p)) for p in phrases):
+                continue  # a MUST-phrase term matches no document
+            import bilies_go_spark as _bgs
+
+            need = 2 * sum(
+                sum(int(a.nbytes) for a in entries[t]) for t in entries
+            ) + (64 << 20)
+            _bgs.prefault_heap(min(need, 1 << 30))
+            keys_by_term = {t: entries[t][3] for t in entries}
+
+            # exclusions: MUST_NOT term docs + verified negated phrases
+            excl_parts = [np.sort(entries[t][0]) for t in sorted(neg) if t in entries]
+            for p in neg_phrases:
+                if any(t not in entries for t in set(p)):
+                    continue
+                m = _verify_phrase_keys(keys_by_term, slot_list_of(p, df_map))
+                if m.size:
+                    excl_parts.append(m)
+            excl = reduce(np.union1d, excl_parts) if excl_parts else None
+
+            # MUST phrases, intersected
+            cand: np.ndarray | None = None
+            dead = False
+            for p in phrases:
+                m = _verify_phrase_keys(keys_by_term, slot_list_of(p, df_map))
+                if m.size == 0:
+                    dead = True
+                    break
+                cand = m if cand is None else np.intersect1d(cand, m, assume_unique=True)
+                if cand.size == 0:
+                    dead = True
+                    break
+            if dead:
+                continue
+
+            tomb = flt.deleted if flt is not None else None  # _doc_filter may be None
+            allow = flt.allowed if flt is not None else None
+            if excl is not None:
+                tomb = excl if tomb is None else np.union1d(tomb, excl)
+            nflt = (
+                DocSetFilter(tomb, allow)
+                if tomb is not None or allow is not None
+                else None
+            )
+            per_term = {
+                t: {
+                    "idf": float(
+                        np.log1p((self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                    )
+                }
+                for t in sterms
+            }
+            decoded = {t: _alive_triple(entries[t][:3], nflt) for t in sterms}
+            if cand is not None:
+                decoded = {t: _restrict_triple(decoded[t], cand) for t in sterms}
+            doc, acc = _merge_accumulate(
+                decoded, per_term, sterms, self.avgdl, self.k1, self.b, cand=cand
+            )
+            if doc.size == 0:
+                continue
+            sel = _topk_select(doc, acc, k, tie_margin=self.tie_margin)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(sel.size, int(qid), dtype=np.int64),
+                        "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                        "doc_id": doc[sel],
+                        "score": acc[sel],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
     def _kernel_local(self, qt_pdf: pd.DataFrame, kernel_fn) -> pd.DataFrame:
         """Driver-local serving path for the pandas kernels: fetch
         the query terms' segment rows through the LRU term cache
@@ -3751,14 +3877,19 @@ class QueryEngine:
         if n_shards is not None and n_shards > 1:
             return self.topk_composed_sharded(queries, qt_pdf, n_shards, flt)
         if mode == "local":
-            def kfn(pdf, k1, b, n_docs, avgdl, tie_margin=0.0, deleted=None):
-                # the combined (tombstones + allowed) filter replaces the
-                # plain tombstone array _kernel_local passes by default
-                return composed_query_kernel(
-                    pdf, k1, b, n_docs, avgdl, tie_margin=tie_margin, deleted=flt
-                )
+            if self.meta.get("positions", False):
+                # positional index: serve from the shared key cache —
+                # hot composed queries never re-decode or re-sort
+                out = self._composed_local(qt_pdf, flt)
+            else:
+                def kfn(pdf, k1, b, n_docs, avgdl, tie_margin=0.0, deleted=None):
+                    # the combined (tombstones + allowed) filter replaces
+                    # the plain tombstone array _kernel_local passes
+                    return composed_query_kernel(
+                        pdf, k1, b, n_docs, avgdl, tie_margin=tie_margin, deleted=flt
+                    )
 
-            out = self._kernel_local(qt_pdf, kfn)
+                out = self._kernel_local(qt_pdf, kfn)
             if out.empty:
                 return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
             return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)

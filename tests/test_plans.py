@@ -62,6 +62,33 @@ def test_phrase_scan_prunes_and_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_composed_and_highlight_scan_prune_and_broadcast(spark, sf_dir):
+    """The round-4 positional surfaces keep the scale shape: composed
+    (bool) and highlight plans partition-prune + push the term predicate
+    into the segment scan and broadcast the tiny query/stats sides —
+    the text side of the highlight snippet join must also broadcast the
+    k·|queries|-row result, never shuffle the docs scan."""
+    from bilies_go_spark import driver_queries as dq
+    from bilies_go_spark.operators.query import QueryEngine
+
+    idx = dq.build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    for df in (
+        eng.topk_composed(dq.composed_queries_pdf()),
+        eng.search_highlight(dq.highlight_queries_pdf()),
+    ):
+        plan = _plan(df)
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+        assert "PushedFilters" in plan and "In(term, [" in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    snip = _plan(eng.search_highlight(dq.highlight_queries_pdf(), docs_df=docs))
+    assert "BroadcastHashJoin" in snip
+    assert "CartesianProduct" not in snip and "BroadcastNestedLoopJoin" not in snip
+
+
 def test_join_star_broadcasts_dimensions(spark, sf_dir):
     """customer and nation are dimensions: they must broadcast-join,
     and nothing may nested-loop/cartesian."""
