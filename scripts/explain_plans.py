@@ -38,6 +38,18 @@ def main() -> None:
     print("=== term_stats (explode + two-level agg) ===")
     dq.q_term_stats(spark, sf).explain("formatted")
 
+    print("=== composed bool + highlight (positional; pruned scan + broadcasts) ===")
+    pidx = dq.build_documents_index_positional(spark, sf)
+    peng = QueryEngine(spark, pidx)
+    for name, df in [
+        ("composed", peng.topk_composed(dq.composed_queries_pdf())),
+        ("highlight", peng.search_highlight(dq.highlight_queries_pdf())),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "PushedFilters" in plan, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        print(f"[ok] {name}: pruned scan, {plan.count('BroadcastHashJoin')} broadcast joins")
+
     print("=== dedup minhash LSH ===")
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
     dedup.minhash_lsh_pairs(docs).explain("formatted")
