@@ -2921,8 +2921,12 @@ class QueryEngine:
             if dead:
                 continue
 
-            tomb = flt.deleted if flt is not None else None  # _doc_filter may be None
-            allow = flt.allowed if flt is not None else None
+            # _doc_filter returns None, a bare sorted tombstone array
+            # (the historical contract), or a DocSetFilter
+            if isinstance(flt, DocSetFilter):
+                tomb, allow = flt.deleted, flt.allowed
+            else:
+                tomb, allow = flt, None
             if excl is not None:
                 tomb = excl if tomb is None else np.union1d(tomb, excl)
             nflt = (

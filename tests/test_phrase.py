@@ -601,6 +601,15 @@ def test_phrase_respects_tombstones(spark, tmp_path):
     delete_docs(spark, d, [0])
     after = sorted(QueryEngine(spark, d).topk_phrase(q).toPandas()["doc_id"])
     assert after == [1]
+    # the newest positional surfaces honor the same tombstones: the
+    # deleted doc vanishes from highlight hits, composed results, and
+    # the local cached paths alike
+    eng = QueryEngine(spark, d)
+    hq = pd.DataFrame({"query_id": [0], "text": ["alpha beta"], "k": [10]})
+    assert sorted(eng.search_highlight(hq).toPandas()["doc_id"]) == [1, 2]
+    cq = pd.DataFrame({"query_id": [0], "text": ['"alpha beta" gamma'], "k": [10]})
+    assert sorted(eng.topk_composed(cq).toPandas()["doc_id"]) == [1]
+    assert sorted(eng.topk_composed(cq, mode="local").toPandas()["doc_id"]) == [1]
 
 
 def test_phrase_on_streamed_tiered_index(spark, tmp_path):
