@@ -597,11 +597,32 @@ class DocBitmap:
 
     __slots__ = ("bits", "n_ids", "n_set")
 
+    #: dense-window size for chunked construction — 16M ids = a 16 MB
+    #: bool temporary per window (multiple of 8, so windows byte-align)
+    _BUILD_CHUNK = 1 << 24
+
     def __init__(self, ids: np.ndarray, max_id: int | None = None):
         mx = int(ids.max()) if max_id is None else max_id
-        dense = np.zeros(mx + 1, dtype=bool)
-        dense[ids] = True
-        self.bits = np.packbits(dense, bitorder="little")
+        if ids.size > 1 and not np.all(ids[1:] >= ids[:-1]):
+            ids = np.sort(ids)  # the _doc_filter contract is sorted; be safe
+        # packbits window-by-window: the obvious one-shot packbits
+        # needs a dense bool temporary of max_id+1 bytes — 8x the
+        # packed bitmap, a multi-GB transient at the 10^9-10^10-id
+        # scale this class exists for — while the windowed build's
+        # transient is a fixed 16 MB regardless of id-space size
+        bits = np.zeros((mx >> 3) + 1, dtype=np.uint8)
+        ch = self._BUILD_CHUNK
+        for lo in range(0, mx + 1, ch):
+            hi = min(lo + ch, mx + 1)
+            a = np.searchsorted(ids, lo)
+            b = np.searchsorted(ids, hi)
+            if a == b:
+                continue
+            dense = np.zeros(hi - lo, dtype=bool)
+            dense[ids[a:b] - lo] = True
+            w = np.packbits(dense, bitorder="little")
+            bits[lo >> 3 : (lo >> 3) + w.size] = w
+        self.bits = bits
         self.n_ids = mx + 1
         self.n_set = int(ids.size)
 
@@ -2193,8 +2214,12 @@ class _ContribCache:
     repeat page-population cost).  Arena slots cannot merge, so an
     entry larger than every recyclable slot stays uncached (callers
     fall back to per-query decode).  Recycling is safe because serving
-    is synchronous per engine: no caller retains a cached view across
-    queries."""
+    is synchronous per engine AND the in-flight query pins its own
+    terms (:meth:`pin`): a view handed out this query can never be
+    recycled under the caller's feet by a later same-query alloc —
+    without the pin, a multi-hot-term query whose arrays overflow the
+    arena would evict its OWN earlier term and silently scatter the
+    new term's contributions into the view the caller still holds."""
 
     def __init__(self, max_bytes: int):
         from collections import OrderedDict
@@ -2208,6 +2233,15 @@ class _ContribCache:
         self._free: list[np.ndarray] = []  # recyclable uint8 slots
         self._arena: np.ndarray | None = None
         self._off = 0
+        self._pinned: frozenset[str] = frozenset()
+
+    def pin(self, terms) -> None:
+        """Protect ``terms`` from eviction until :meth:`unpin` — the
+        current query's terms, whose views outlive later allocs."""
+        self._pinned = frozenset(terms)
+
+    def unpin(self) -> None:
+        self._pinned = frozenset()
 
     def get(self, term: str) -> np.ndarray | None:
         hit = self._d.get(term)
@@ -2263,13 +2297,16 @@ class _ContribCache:
             self._populate(self._arena, self._off - nb, nb)  # fault once, up front
         else:
             slot = self._take_free(nb)
-            while slot is None and self._d:
-                _, (_, old_slot) = self._d.popitem(last=False)  # evict LRU
+            while slot is None:
+                # evict LRU-first, skipping pinned entries (the live
+                # query's terms — their views are still held)
+                victim = next((t for t in self._d if t not in self._pinned), None)
+                if victim is None:
+                    return None
+                _, old_slot = self._d.pop(victim)
                 if old_slot is not None:
                     self._free.append(old_slot)
                 slot = self._take_free(nb)
-            if slot is None:
-                return None
         v = slot[:nb].view(np.float64)
         v[:] = 0.0
         self._d[term] = (v, slot)
@@ -3037,9 +3074,16 @@ class QueryEngine:
         qt_pdf = self._phrase_qt_rows(queries)
         if qt_pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        if n_shards is None and mode == "distributed":
+        if n_shards is None:
+            # consulted in EVERY mode: a heavy query (Σ df past one
+            # shard's worth) in mode='local' would otherwise sweep the
+            # full occurrence stream in one driver thread — a measured
+            # 9-31 s stall on an all-stopword phrase at 2M turns, and a
+            # 100x stall at 100x data.  Routing to the doc-range-
+            # sharded plan is result-identical (pytest-pinned); pass
+            # n_shards=1 explicitly to force the driver-side path.
             n_shards = self._auto_shards_qt(qt_pdf)
-        if n_shards is not None and n_shards > 1:
+        if n_shards > 1:
             return self.topk_phrase_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
             out = self._pos_local(qt_pdf, "phrase")
@@ -3159,9 +3203,11 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
-        if n_shards is None and mode == "distributed":
+        if n_shards is None:
+            # every mode — heavy local queries route to the sharded
+            # plan (see topk_phrase); n_shards=1 forces driver-side
             n_shards = self._auto_shards_qt(qt_pdf)
-        if n_shards is not None and n_shards > 1:
+        if n_shards > 1:
             return self.topk_proximity_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
             out = self._pos_local(qt_pdf, "proximity")
@@ -3620,10 +3666,25 @@ class QueryEngine:
         return [tok] + [tok[:i] + tok[i + 1 :] for i in range(len(tok))]
 
     def _tv_roots(self) -> list[str]:
-        roots = [self.paths.term_variants] + [
-            self.paths.tier_term_variants(t) for t in self.tiers
+        """Variant-dictionary roots, one per vocabulary (stats) root.
+        Returns [] — routing expansion to the legacy vocabulary scan —
+        unless EVERY vocabulary root has its variants twin: an index
+        whose base generation predates term_variants but that gained a
+        tier via compact_tiered (which builds tier_term_variants) would
+        otherwise take the dictionary path and silently miss the entire
+        base vocabulary."""
+        pairs = [(self.paths.term_stats, self.paths.term_variants)] + [
+            (self.paths.tier_term_stats(t), self.paths.tier_term_variants(t))
+            for t in self.tiers
         ]
-        return [r for r in roots if os.path.isdir(r)]
+        out = []
+        for ts, tv in pairs:
+            if not os.path.isdir(ts):
+                continue  # no vocabulary there -> no variants expected
+            if not os.path.isdir(tv):
+                return []
+            out.append(tv)
+        return out
 
     def expand_fuzzy(self, toks: list[str]) -> dict[str, list[str]]:
         """Dictionary terms within Levenshtein distance 1 of each
@@ -3872,11 +3933,9 @@ class QueryEngine:
         flt = self._doc_filter(
             None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
         )
-        if (
-            n_shards is None
-            and mode == "distributed"
-            and self.meta.get("positions", False)
-        ):
+        if n_shards is None and self.meta.get("positions", False):
+            # every mode — heavy local queries route to the sharded
+            # plan (see topk_phrase); n_shards=1 forces driver-side
             n_shards = self._auto_shards_qt(qt_pdf)
         if n_shards is not None and n_shards > 1:
             return self.topk_composed_sharded(queries, qt_pdf, n_shards, flt)
@@ -4207,36 +4266,44 @@ class QueryEngine:
         lo_df = max(1000, self.HOT_DF_FRAC * self.n_docs)
         parts = []  # ascending-term order: ("dense", arr) | ("sparse", ids, contrib)
         size = 1
-        for t in qterms:  # sorted by caller — pinned fold order
-            rows = pdf[pdf["term"] == t]
-            dfreq = int(rows["df"].iloc[0])
-            if dfreq >= lo_df:
-                a = self._dense_contrib(t, rows)
-                if a is None:
-                    return None
-                parts.append(("dense", a, None))
-                size = max(size, a.size)
-            else:
-                runs = [row_to_segment(r) for _, r in rows.iterrows()]
-                ids, tfs, dls = _decode_term_runs(runs, None, deleted=self.deleted)
-                if ids.size == 0:
-                    continue
-                mx = int(ids.max())
-                if mx >= self.DENSE_MAX_ID:
-                    return None
-                idf = float(np.log1p((self.n_docs - dfreq + 0.5) / (dfreq + 0.5)))
-                parts.append(
-                    ("sparse", ids, idf * _tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
-                )
-                size = max(size, mx + 1)
-        if not parts:
-            return None
-        acc = np.zeros(size, dtype=np.float64)
-        for kind, a, contrib in parts:
-            if kind == "dense":
-                acc[: a.size] += a
-            else:
-                acc[a] += contrib  # ids unique per (term, doc) — exact scatter
+        # pin this query's terms against cache eviction: the views in
+        # `parts` outlive later terms' alloc_for calls, and an unpinned
+        # LRU recycle would silently overwrite an earlier term's
+        # contributions with the new term's (wrong scores, no error)
+        self.contrib_cache.pin(qterms)
+        try:
+            for t in qterms:  # sorted by caller — pinned fold order
+                rows = pdf[pdf["term"] == t]
+                dfreq = int(rows["df"].iloc[0])
+                if dfreq >= lo_df:
+                    a = self._dense_contrib(t, rows)
+                    if a is None:
+                        return None
+                    parts.append(("dense", a, None))
+                    size = max(size, a.size)
+                else:
+                    runs = [row_to_segment(r) for _, r in rows.iterrows()]
+                    ids, tfs, dls = _decode_term_runs(runs, None, deleted=self.deleted)
+                    if ids.size == 0:
+                        continue
+                    mx = int(ids.max())
+                    if mx >= self.DENSE_MAX_ID:
+                        return None
+                    idf = float(np.log1p((self.n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+                    parts.append(
+                        ("sparse", ids, idf * _tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
+                    )
+                    size = max(size, mx + 1)
+            if not parts:
+                return None
+            acc = np.zeros(size, dtype=np.float64)
+            for kind, a, contrib in parts:
+                if kind == "dense":
+                    acc[: a.size] += a
+                else:
+                    acc[a] += contrib  # ids unique per (term, doc) — exact scatter
+        finally:
+            self.contrib_cache.unpin()
         doc = np.flatnonzero(acc)  # contributions are strictly positive
         if doc.size == 0:
             return None

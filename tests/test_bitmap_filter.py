@@ -35,6 +35,51 @@ def test_docbitmap_contains_matches_isin():
     assert (f_arr.keep_mask(probe) == f_bm.keep_mask(probe)).all()
 
 
+def test_docbitmap_windowed_build_matches_one_shot(monkeypatch):
+    """The chunked constructor (fixed 16 MB transient instead of a
+    max_id+1-byte dense bool) produces bit-identical bitmaps across
+    window boundaries, unsorted input, and ids landing exactly on
+    window edges."""
+    rng = np.random.default_rng(11)
+    ids = rng.choice(1_000_000, 60_000, replace=False).astype(np.int64)
+    # include exact window-edge ids once the chunk is shrunk
+    ids = np.unique(np.concatenate([ids, [0, 4095, 4096, 4097, 999_999]]))
+    one_shot = DocBitmap(ids).bits
+    monkeypatch.setattr(DocBitmap, "_BUILD_CHUNK", 1 << 12)  # 245 windows
+    shuffled = ids.copy()
+    rng.shuffle(shuffled)  # constructor must tolerate unsorted input
+    windowed = DocBitmap(shuffled)
+    assert windowed.bits.shape == one_shot.shape
+    assert (windowed.bits == one_shot).all()
+    assert windowed.contains(ids).all()
+
+
+def test_contrib_cache_pin_blocks_same_query_eviction():
+    """ADVICE r4 (high): an in-flight query's dense views must never be
+    recycled by its OWN later allocs — alloc_for returns None instead
+    of evicting a pinned entry, and the earlier views stay intact."""
+    from bilies_go_spark.operators.query import _ContribCache
+
+    c = _ContribCache(max_bytes=8 * 20)  # arena: two 10-float slots
+    a = c.alloc_for("t_a", 10)
+    b = c.alloc_for("t_b", 10)
+    a[:], b[:] = 1.0, 2.0
+    c.pin(["t_a", "t_b", "t_c"])
+    try:
+        # arena spent, every evictable entry pinned -> no slot, no evict
+        assert c.alloc_for("t_c", 10) is None
+        assert a[0] == 1.0 and b[0] == 2.0
+        assert c.get("t_a") is not None and c.get("t_b") is not None
+    finally:
+        c.unpin()
+    # unpinned, the same alloc succeeds by recycling the LRU slot
+    d = c.alloc_for("t_c", 10)
+    assert d is not None
+    d[:] = 3.0
+    # exactly one of the old entries was displaced; the other survives
+    assert (c.get("t_a") is None) != (c.get("t_b") is None)
+
+
 @pytest.fixture(scope="module")
 def idx(spark, small_corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("bmf_idx"))

@@ -385,6 +385,47 @@ def test_fuzzy_variant_dictionary_equals_scan(spark, pos_index_dir):
     assert fast["zzqqx"] == []
 
 
+def test_fuzzy_dictionary_requires_variants_for_every_vocab_root(
+    spark, pos_index_dir, monkeypatch
+):
+    """ADVICE r4 (medium): the dictionary path is taken only when EVERY
+    vocabulary root has its variants twin — an index whose base
+    generation predates term_variants but that gained a tier WITH
+    tier_term_variants must fall back to the vocabulary scan instead of
+    silently missing the entire base vocabulary."""
+    eng = QueryEngine(spark, pos_index_dir)
+    full = eng.expand_fuzzy(["watr", "thre"])
+
+    # simulate the mismatched index: a second vocabulary root (a tier)
+    # whose variants twin does not exist
+    class _Paths:
+        def __init__(self, real):
+            self._r = real
+            self.term_stats = real.term_stats
+            self.term_variants = real.term_variants
+
+        def tier_term_stats(self, t):
+            return self.term_stats  # exists
+
+        def tier_term_variants(self, t):
+            return self.term_variants + "_missing_tier"  # does not
+
+    monkeypatch.setattr(eng, "paths", _Paths(eng.paths))
+    monkeypatch.setattr(eng, "tiers", ["t0"])
+    assert eng._tv_roots() == []  # mismatch detected -> scan path
+    calls = []
+    real_scan = eng._expand_fuzzy_scan
+
+    def spy(toks):
+        calls.append(list(toks))
+        return real_scan(toks)
+
+    monkeypatch.setattr(eng, "_expand_fuzzy_scan", spy)
+    got = eng.expand_fuzzy(["watr", "thre"])
+    assert calls, "mismatched variants coverage must route to the scan"
+    assert got == full
+
+
 def test_phrase_sharded_equals_distributed(spark, pos_index_dir):
     """The doc-range-sharded phrase plan (positions sliced at block
     boundaries, per-shard verification, window merge) is
@@ -541,6 +582,40 @@ def test_auto_sharding_picks_and_matches(spark, pos_index_dir):
         prox_auto.sort_values(key).reset_index(drop=True),
         prox_base.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_heavy_local_queries_route_to_sharded_plan(spark, pos_index_dir):
+    """mode='local' consults the SAME posting-volume estimator as
+    distributed (round-4 verdict item 1): a heavy query routes to the
+    doc-range-sharded plan instead of the single-threaded driver sweep,
+    with identical results; n_shards=1 still forces the driver path."""
+    key = ["query_id", "rank"]
+    eng = QueryEngine(spark, pos_index_dir)
+    base_ph = eng.topk_phrase(PHRASES, mode="local", n_shards=1).toPandas()
+    base_px = eng.topk_proximity(PROX, mode="local", n_shards=1).toPandas()
+
+    forced = QueryEngine(spark, pos_index_dir)
+    forced.SHARD_TARGET_POSTINGS = 1  # every query counts as heavy
+    routed = {}
+    orig_ph, orig_px = (
+        QueryEngine.topk_phrase_sharded,
+        QueryEngine.topk_proximity_sharded,
+    )
+    forced.topk_phrase_sharded = lambda *a, **k: routed.__setitem__(
+        "ph", True
+    ) or orig_ph(forced, *a, **k)
+    forced.topk_proximity_sharded = lambda *a, **k: routed.__setitem__(
+        "px", True
+    ) or orig_px(forced, *a, **k)
+    got_ph = forced.topk_phrase(PHRASES, mode="local").toPandas()
+    got_px = forced.topk_proximity(PROX, mode="local").toPandas()
+    assert routed == {"ph": True, "px": True}, "local heavy queries must shard"
+    for got, base in ((got_ph, base_ph), (got_px, base_px)):
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            base.sort_values(key).reset_index(drop=True),
+        )
+    assert len(got_ph) and len(got_px)
 
 
 def test_boolean_negation_matches_brute(spark, small_corpus, pos_index_dir):
