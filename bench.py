@@ -253,6 +253,43 @@ def main() -> None:
                 rows.append((int(r.query_id), t, int(r.k), len(qts), 3))
         return pd.DataFrame(rows, columns=["query_id", "term", "k", "n_terms", "slop"])
 
+    # --- serving cold-start: the first query set pays the positional
+    # fill for every hot term it touches.  A/B the two fill paths on
+    # fresh engines (each owns an empty _PosCache): legacy decode+sort
+    # (BGS_POS_ARTIFACT=0) vs the build-time artifact
+    # (index_build.build_pos_cache — mmapped .npy, O(read)).  Decode
+    # leg runs FIRST so the shared parquet-segment reads warm the page
+    # cache for both; the artifact leg's .npy reads are genuinely cold.
+    # Query sweep cost is identical on both sides, so the delta is the
+    # fill itself.
+    cold_q = peng._phrase_qt_rows(pq)
+    os.environ["BGS_POS_ARTIFACT"] = "0"
+    try:
+        e_dec = QueryEngine(spark, pidx)
+        t0 = time.monotonic()
+        cold_dec = e_dec._pos_local(cold_q, "phrase")
+        queries["pos_cold_decode"] = round(time.monotonic() - t0, 3)
+    finally:
+        del os.environ["BGS_POS_ARTIFACT"]
+    e_art = QueryEngine(spark, pidx)
+    assert e_art._pos_artifact, "positional index must carry the serving artifact"
+    t0 = time.monotonic()
+    cold_art = e_art._pos_local(cold_q, "phrase")
+    queries["pos_cold_artifact"] = round(time.monotonic() - t0, 3)
+    key = ["query_id", "rank"]
+    assert cold_art.sort_values(key).reset_index(drop=True).equals(
+        cold_dec.sort_values(key).reset_index(drop=True)
+    ), "artifact cold path diverged from decode fill"
+    extras["pos_cold_speedup"] = round(
+        queries["pos_cold_decode"] / max(queries["pos_cold_artifact"], 1e-9), 2
+    )
+    log(
+        f"positional cold-start: decode={queries['pos_cold_decode']}s "
+        f"artifact={queries['pos_cold_artifact']}s "
+        f"({extras['pos_cold_speedup']}x)"
+    )
+    del e_dec, e_art
+
     _serve_each(peng._phrase_qt_rows, "phrase", "phrase_local")
     _serve_each(_prox_rows, "proximity", "proximity_local")
     log(
@@ -301,6 +338,24 @@ def main() -> None:
     log(
         f"fuzzy expansion: dict={extras['fuzzy_expand_dict_ms']}ms "
         f"scan={extras['fuzzy_expand_scan_ms']}ms"
+    )
+
+    # ES AUTO fuzziness (distance 2 for >=6-char tokens): depth-2
+    # dictionary lookup vs the depth-2 vocabulary scan, equality-gated
+    auto_toks = ["numbre", "peoplle", "watr", "th"]
+    peng.expand_fuzzy(auto_toks, auto=True)  # warm
+    t0 = time.monotonic()
+    for _ in range(5):
+        dict_auto = peng.expand_fuzzy(auto_toks, auto=True)
+    extras["fuzzy_auto_dict_ms"] = round((time.monotonic() - t0) / 5 * 1000, 1)
+    t0 = time.monotonic()
+    scan_auto = peng._expand_fuzzy_scan(auto_toks, auto=True)
+    extras["fuzzy_auto_scan_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    assert dict_auto == scan_auto, "AUTO fuzzy dictionary diverged from the scan path"
+    assert any(dict_auto.values()), "AUTO fuzzy expansion found nothing"
+    log(
+        f"fuzzy AUTO expansion: dict={extras['fuzzy_auto_dict_ms']}ms "
+        f"scan={extras['fuzzy_auto_scan_ms']}ms"
     )
 
     # --- scaling evidence: same corpus, N vs 4N execution slots, cold

@@ -19,7 +19,7 @@ aggregation and shuffle; custom logic (VByte codec, block-max WAND) lives
 in vectorized Arrow/pandas UDF stages only.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75

@@ -947,31 +947,77 @@ def fuzzy_queries_pdf() -> pd.DataFrame:
     )
 
 
-def bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-expanded top-k — must match the levenshtein-expansion
-    oracle rank-for-rank."""
+#: ES AUTO fuzziness demo set: per-token distance by length (0 for
+#: 1-2 chars, 1 for 3-5, 2 for >= 6) — the `fuzziness: AUTO` the
+#: reference's users write in the ES query DSL.
+FUZZY2_QUERIES: list[tuple[int, str, int]] = [
+    (0, "custmr~", 10),         # len 6 -> distance 2 -> customer
+    (1, "vectro~ hash", 10),    # transposition (2 subs) + literal
+    (2, "filtre~", 10),         # distance 2 -> filter
+    (3, "strem~", 10),          # len 5 -> distance 1 -> stream
+    (4, "a~", 10),              # len 1 -> distance 0 -> exact 'a'
+    (5, "zz~", 10),             # len 2 -> distance 0, not in vocab
+    (6, "window~ colum~", 10),  # d2 self-match + d1 -> column
+    (7, "tble~", 10),           # len 4 -> still distance 1 -> table
+]
+
+
+def fuzzy2_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in FUZZY2_QUERIES],
+            "text": [q[1] for q in FUZZY2_QUERIES],
+            "k": [q[2] for q in FUZZY2_QUERIES],
+        }
+    )
+
+
+def _bm25_fuzzy_run(
+    spark: SparkSession, sf_dir: str, qpdf: pd.DataFrame, fuzziness: str
+) -> DataFrame:
     from bilies_go_spark.operators.query import QueryEngine
 
     _ensure_pyfiles(spark)
     idx = build_documents_index(spark, sf_dir)
     eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
-    raw = eng.topk_fuzzy(fuzzy_queries_pdf())
+    raw = eng.topk_fuzzy(qpdf, fuzziness=fuzziness)
     kdf = F.broadcast(
         spark.createDataFrame(
-            fuzzy_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+            qpdf[["query_id", "k"]], schema="query_id bigint, k int"
         )
     )
     return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
 
 
-def bm25_fuzzy_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+def bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-expanded top-k — must match the levenshtein-expansion
+    oracle rank-for-rank."""
+    return _bm25_fuzzy_run(spark, sf_dir, fuzzy_queries_pdf(), "1")
+
+
+def bm25_fuzzy2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES AUTO fuzziness (distance 2 for >= 6-char tokens, SymSpell
+    depth-2 dictionary) — must match the per-token
+    ``levenshtein <= CASE length`` oracle rank-for-rank."""
+    return _bm25_fuzzy_run(spark, sf_dir, fuzzy2_queries_pdf(), "auto")
+
+
+def bm25_fuzzy_oracle_sql(
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    queries: "list[tuple[int, str, int]] | None" = None,
+    auto: bool = False,
+) -> str:
+    from bilies_go_spark.operators.query import _auto_fuzzy_dist
+
     qrows = []
-    for qid, text, k in FUZZY_QUERIES:
+    for qid, text, k in queries if queries is not None else FUZZY_QUERIES:
         for piece in text.split():
             isf = piece.endswith("~")
             toks = tokenize_py(piece[:-1] if isf else piece)
             assert len(toks) == 1
-            qrows.append(f"({qid}, '{toks[0]}', {1 if isf else 0}, {k})")
+            d = (_auto_fuzzy_dist(toks[0]) if auto else 1) if isf else 0
+            qrows.append(f"({qid}, '{toks[0]}', {d}, {k})")
     values = ", ".join(qrows)
     return f"""
 WITH toks AS (
@@ -1009,6 +1055,54 @@ r AS (
 )
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
+
+
+# --- search_after pagination --------------------------------------------------
+# ES search_after: page 2 of each BM25 query — run page 1, take its
+# kth hit as the cursor, fetch the next k strictly after it in
+# (rounded score DESC, doc_id ASC) order.  The oracle is the full
+# ranking's window rank BETWEEN k+1 AND 2k, so the cursor protocol is
+# checked against absolute rank arithmetic it never sees.
+
+
+def bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via the cursor surface (QueryEngine.topk_page) — must
+    match the oracle's rank-window k+1..2k row-for-row."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    qp = bm25_queries_pdf()
+    p1 = eng.topk_page(qp).toPandas()
+    cur = p1.merge(qp[["query_id", "k"]], on="query_id")
+    cur = cur[cur["rank"] == cur["k"]][["query_id", "score", "doc_id"]].rename(
+        columns={"score": "after_score", "doc_id": "after_doc_id"}
+    )
+    # queries whose page 1 came up short have no kth hit — no cursor,
+    # no page 2 (exactly the oracle's empty window)
+    q2 = qp.merge(cur, on="query_id", how="inner")
+    if q2.empty:
+        return spark.createDataFrame(
+            [], schema="query_id bigint, rank int, doc_id bigint, score double"
+        )
+    out = eng.topk_page(q2).toPandas().merge(qp[["query_id", "k"]], on="query_id")
+    out["rank"] = (out["rank"] + out["k"]).astype("int32")
+    return spark.createDataFrame(
+        out[["query_id", "rank", "doc_id", "score"]],
+        schema="query_id bigint, rank int, doc_id bigint, score double",
+    )
+
+
+def bm25_page_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    base = bm25_oracle_sql(k1, b)
+    tail = "SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k"
+    assert tail in base, "bm25_oracle_sql tail changed; update bm25_page_oracle_sql"
+    return base.replace(
+        tail,
+        "SELECT query_id, rank, doc_id, score FROM r "
+        "WHERE rank > k AND rank <= 2 * k",
+    )
 
 
 # --- composed (bool) search ---------------------------------------------------
@@ -1063,11 +1157,23 @@ def bm25_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
 
 
-def bm25_composed_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+def bm25_composed_oracle_sql(
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    queries: "list[tuple[int, str, int]] | None" = None,
+    allowed_mode: str = "tenant",
+) -> str:
+    """Composed-bool oracle generator.  ``allowed_mode='tenant'`` is the
+    global source-list filter every query shares; ``'fields'`` resolves
+    each query's own ``field:value`` clauses into a per-query allowed
+    CTE (null-safe via IS NOT DISTINCT FROM — a doc missing the field
+    still passes ``-field:value``), checking the engine's group-dispatch
+    against plain SQL it never sees."""
     from bilies_go_spark.operators.query import QueryEngine
 
     like_rows, fuzzy_rows, ph_rows, neg_rows, nph_rows, qn_rows = [], [], [], [], [], []
-    for qid, text, k in COMPOSED_QUERIES:
+    qa_rows: list[str] = []
+    for qid, text, k in queries if queries is not None else COMPOSED_QUERIES:
         s = QueryEngine._parse_composed_query(text)
         negset = set(s["neg"])
         for t in sorted((set(s["should"]) | {t for p in s["phrases"] for t in p}) - negset):
@@ -1083,12 +1189,32 @@ def bm25_composed_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> st
         for p in s["neg_phrases"]:
             nph_rows.append(f"({qid}, '{' '.join(p)}')")
         qn_rows.append(f"({qid}, {len(s['phrases'])})")
+        preds = [
+            f"{f} IS NOT DISTINCT FROM '{v}'" for f, v in sorted(set(s["fields"]))
+        ] + [
+            f"NOT ({f} IS NOT DISTINCT FROM '{v}')"
+            for f, v in sorted(set(s["neg_fields"]))
+        ]
+        qa_rows.append(
+            f"SELECT {qid} AS query_id, doc_id FROM documents"
+            f" WHERE {' AND '.join(preds) if preds else 'TRUE'}"
+        )
     # empty VALUES lists are a syntax error: pad with a never-matching row
     fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0)"]
     ph_rows = ph_rows or ["(-1, 'zzzdummy')"]
     neg_rows = neg_rows or ["(-1, 'zzzdummy')"]
     nph_rows = nph_rows or ["(-1, 'zzzdummy')"]
     src_list = ", ".join(f"'{s}'" for s in FILTER_SOURCES)
+    if allowed_mode == "fields":
+        allowed_cte = "allowed AS (\n  " + "\n  UNION ALL ".join(qa_rows) + "\n)"
+        allowed_join = (
+            "JOIN allowed a ON a.query_id = qe.query_id AND a.doc_id = p.doc_id"
+        )
+    else:
+        allowed_cte = (
+            f"allowed AS (SELECT doc_id FROM documents WHERE source IN ({src_list}))"
+        )
+        allowed_join = "JOIN allowed a ON a.doc_id = p.doc_id"
     return f"""
 WITH toks AS (
   SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
@@ -1101,7 +1227,7 @@ tstr AS (
   SELECT doc_id, ' ' || array_to_string({duck_tokens()}, ' ') || ' ' AS s
   FROM documents
 ),
-allowed AS (SELECT doc_id FROM documents WHERE source IN ({src_list})),
+{allowed_cte},
 ql(query_id, patt, k) AS (VALUES {", ".join(like_rows)}),
 qf(query_id, tok, k) AS (VALUES {", ".join(fuzzy_rows)}),
 ph(query_id, phrase) AS (VALUES {", ".join(ph_rows)}),
@@ -1133,7 +1259,7 @@ sc AS (
          ) AS score
   FROM qe
   JOIN post p ON p.term = qe.term
-  JOIN allowed a ON a.doc_id = p.doc_id
+  {allowed_join}
   JOIN ts ON ts.term = qe.term
   JOIN dl ON dl.doc_id = p.doc_id
   JOIN qn ON qn.query_id = qe.query_id
@@ -1161,6 +1287,62 @@ r AS (
 )
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
+
+
+# --- field-scoped composed search ---------------------------------------------
+# ES bool filter clauses written inline: field:value scopes a query to
+# the docs whose metadata column equals the value (-field:value
+# excludes, null-safe), combined freely with the composed surface.
+# The engine resolves each DISTINCT clause set ONCE per batch (a
+# pruned metadata scan -> DocBitmap/broadcast at scale); the oracle is
+# the composed SQL with a per-query allowed CTE.
+
+FIELDED_QUERIES: list[tuple[int, str, int]] = [
+    (0, 'lang:en "hash join" tab*', 10),       # scope + phrase + prefix
+    (1, "-lang:en table scan", 10),            # negated scope
+    (2, "source:src4 table", 10),              # sparse positive scope
+    (3, "lang:de -source:src4 table scan*", 10),  # scope + neg scope
+    (4, "lang:zz table", 10),                  # no such value -> empty
+    (5, "table -dup", 10),                     # NO field clause, mixed batch
+    (6, "lang:fr tble~ value", 10),            # scope + fuzzy
+    (7, 'lang:en -"hash join" table', 10),     # scope + negated phrase
+]
+
+
+def fielded_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in FIELDED_QUERIES],
+            "text": [q[1] for q in FIELDED_QUERIES],
+            "k": [q[2] for q in FIELDED_QUERIES],
+        }
+    )
+
+
+def bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped composed search on the positional index — must
+    match the per-query-allowed composed oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    fields_df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "source"
+    )
+    raw = eng.topk_composed(fielded_queries_pdf(), fields_df=fields_df)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            fielded_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_fielded_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    return bm25_composed_oracle_sql(
+        k1, b, queries=FIELDED_QUERIES, allowed_mode="fields"
+    )
 
 
 # --- faceted search counts ----------------------------------------------------
@@ -1295,7 +1477,16 @@ def search_highlight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select(
-            "query_id", "rank", "doc_id", "score", "win_start", "win_end", "snippet"
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "win_start",
+            "win_end",
+            "snippet",
+            "char_start",
+            "char_end",
+            "fragment",
         )
     )
 
@@ -1369,13 +1560,33 @@ r AS (
            PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
          ) AS rank
   FROM sc
+),
+tkoff AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         sum(len(seps[g.i]) + len(tkm[g.i]))
+           OVER (PARTITION BY doc_id ORDER BY g.i) - len(tkm[g.i]) AS cstart,
+         sum(len(seps[g.i]) + len(tkm[g.i]))
+           OVER (PARTITION BY doc_id ORDER BY g.i) AS cend
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS tkm,
+           regexp_split_to_array(lower(text), '[a-z0-9]+') AS seps
+    FROM documents
+  ) dd, unnest(generate_series(1, len(tkm))) AS g(i)
 )
 SELECT r.query_id, r.rank, r.doc_id, r.score,
        CAST(bw.s AS BIGINT) AS win_start, CAST(bw.e AS BIGINT) AS win_end,
-       array_to_string(d.tk[bw.s + 1 : bw.e + 1], ' ') AS snippet
+       array_to_string(d.tk[bw.s + 1 : bw.e + 1], ' ') AS snippet,
+       CAST(o1.cstart AS BIGINT) AS char_start,
+       CAST(o2.cend AS BIGINT) AS char_end,
+       substr(dt.text, CAST(o1.cstart + 1 AS INT),
+              CAST(o2.cend - o1.cstart AS INT)) AS fragment
 FROM r
 JOIN best bw ON bw.query_id = r.query_id AND bw.doc_id = r.doc_id AND bw.wr = 1
 JOIN tkd d ON d.doc_id = r.doc_id
+JOIN tkoff o1 ON o1.doc_id = r.doc_id AND o1.pos = bw.s
+JOIN tkoff o2 ON o2.doc_id = r.doc_id AND o2.pos = bw.e
+JOIN documents dt ON dt.doc_id = r.doc_id
 WHERE r.rank <= r.k
 """
 
@@ -1880,13 +2091,27 @@ def registry() -> dict[str, tuple]:
         # trailing-~ fuzzy expansion (Levenshtein <= 1, SymSpell
         # deletion-variant join); oracle = levenshtein-expansion
         "bm25_topk_fuzzy": (bm25_fuzzy, bm25_fuzzy_oracle_sql()),
+        # ES AUTO fuzziness: per-token distance 0/1/2 by length,
+        # SymSpell depth-2 dictionary; oracle = levenshtein <= per-token
+        # distance over the same stats CTEs
+        "bm25_topk_fuzzy2": (
+            bm25_fuzzy2,
+            bm25_fuzzy_oracle_sql(queries=FUZZY2_QUERIES, auto=True),
+        ),
         # leading-- negation (MUST_NOT): exclusion folded into the doc
         # mask; oracle = NOT EXISTS over the negated terms' postings
         "bm25_topk_boolean": (bm25_boolean, bm25_boolean_oracle_sql()),
+        # ES search_after pagination: cursor-driven page 2 vs the full
+        # ranking's rank window k+1..2k
+        "bm25_topk_page": (bm25_page, bm25_page_oracle_sql()),
         # composed bool search: phrase + MUST_NOT + prefix + fuzzy +
         # allowed filter in ONE query string (the ES bool request);
         # oracle composes the per-feature CTEs
         "bm25_topk_composed": (bm25_composed, bm25_composed_oracle_sql()),
+        # field:value / -field:value metadata scopes inside the composed
+        # surface; engine resolves each distinct clause set once per
+        # batch, oracle carries a per-query allowed CTE
+        "bm25_topk_fielded": (bm25_fielded, bm25_fielded_oracle_sql()),
         # ES/Lucene highlighter: conjunctive top-k + minimal covering
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions

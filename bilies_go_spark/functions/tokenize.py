@@ -77,3 +77,20 @@ def duckdb_tokens_sql(table: str, doc_id_col: str = "doc_id", text_col: str = "t
         f"unnest(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}')) AS term "
         f"FROM {table}"
     )
+
+
+_PY_TOKEN = re.compile("[a-z0-9]+")
+
+
+def token_offsets_py(text: str | None) -> list[tuple[int, int]]:
+    """Char span ``(start, end)`` (0-based, end-exclusive) of each token
+    in the ORIGINAL text — the i-th span belongs to the i-th token of
+    :func:`tokenize_py`.  Tokens are maximal ``[a-z0-9]+`` runs of the
+    lowercased text, and ASCII lowercasing is length-preserving, so
+    match offsets on ``text.lower()`` index the raw string directly.
+    Used by the highlighter's char-offset surface; the DuckDB oracle
+    reconstructs the same spans from ``regexp_extract_all`` + cumulative
+    separator lengths."""
+    if text is None:
+        return []
+    return [(m.start(), m.end()) for m in _PY_TOKEN.finditer(text.lower())]

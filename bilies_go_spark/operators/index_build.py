@@ -261,6 +261,16 @@ class IndexPaths:
         )
 
     @property
+    def pos_cache(self) -> str:
+        """Persisted positional serving-cache arrays (one dir per hot
+        term, see :func:`build_pos_cache`), generation-suffixed like
+        ``term_variants`` so an online compaction builds the new
+        generation's artifact beside the live one."""
+        return os.path.join(
+            self.root, "pos_cache" if self.gen == 0 else f"pos_cache.g{self.gen}"
+        )
+
+    @property
     def quarantine(self) -> str:
         return os.path.join(self.root, "quarantine")
 
@@ -331,6 +341,14 @@ class BuildConfig:
     # analogue) — enables phrase queries; costs ~1 byte/token extra in
     # the runs shuffle and segments, so off by default
     positions: bool = False
+    # materialize the positional serving-cache arrays for hot terms at
+    # build time (build_pos_cache) — positional indexes only; turns the
+    # serving cold-start from O(decode+sort) into O(read)
+    serving_cache: bool = True
+    # absolute df floor for "hot" (the effective threshold is
+    # max(serving_cache_min_df, 1% of n_docs), mirroring
+    # QueryEngine.HOT_DF_FRAC); tests lower it to exercise the artifact
+    serving_cache_min_df: int = 1000
 
     @property
     def runs_schema(self) -> str:
@@ -592,6 +610,27 @@ DELETION_VARIANTS_EXPR = (
     "i -> concat(substring(term, 1, i - 1), substring(term, i + 1, length(term)))))"
 )
 
+#: ES ``AUTO`` fuzziness allows Levenshtein distance 2 only for terms
+#: of length >= 6 (0 for 1-2, 1 for 3-5) — so depth-2 deletion variants
+#: are only ever needed for dictionary terms this long: a distance-2
+#: pair needs 2 dictionary-side deletions only when both edits consume
+#: a dictionary char (2 substitutions / 2 deletions), which forces
+#: len(dict term) >= len(query term) >= 6.
+SYMSPELL_DEPTH2_MIN_LEN = 6
+
+#: depth-<=2 variant generator: the depth-1 set plus every i<j
+#: two-character deletion, the latter only for terms long enough to
+#: ever need distance 2 under ES AUTO (see SYMSPELL_DEPTH2_MIN_LEN)
+DELETION_VARIANTS2_EXPR = (
+    "array_union(" + DELETION_VARIANTS_EXPR + ", "
+    f"IF(length(term) >= {SYMSPELL_DEPTH2_MIN_LEN}, "
+    "array_distinct(flatten(transform(sequence(1, length(term) - 1), "
+    "i -> transform(sequence(i + 1, length(term)), "
+    "j -> concat(substring(term, 1, i - 1), substring(term, i + 1, j - i - 1), "
+    "substring(term, j + 1, length(term))))))), "
+    "array()))"
+)
+
 
 def build_term_variants(
     spark: SparkSession, ts_path: str, tv_path: str, cfg: BuildConfig
@@ -603,16 +642,124 @@ def build_term_variants(
     equality lookup instead of scanning + exploding the entire
     vocabulary per query batch — the SymSpell design as intended: pay
     O(vocab · len) ONCE at build, O(query variants) per query.  One
-    linear pass over the vocabulary; idempotent full overwrite."""
+    linear pass over the vocabulary; idempotent full overwrite.
+
+    Depth: 0/1-char deletions for every term, plus 2-char deletions for
+    terms >= :data:`SYMSPELL_DEPTH2_MIN_LEN` chars — exactly the
+    dictionary side ES ``AUTO`` fuzziness (distance 2 at length >= 6)
+    requires.  A ``_symspell.json`` marker records the depth so readers
+    can tell this table from a depth-1-only one built by an older
+    package (those route AUTO expansion to the vocabulary scan)."""
+    import json
+
     ts = spark.read.parquet(ts_path).select("term").distinct()
     tv = (
-        ts.select("term", F.explode(F.expr(DELETION_VARIANTS_EXPR)).alias("variant"))
+        ts.select("term", F.explode(F.expr(DELETION_VARIANTS2_EXPR)).alias("variant"))
         .distinct()
         .withColumn("variant_bucket", term_bucket_col("variant", cfg.n_buckets))
     )
     tableio.write_partitioned(
         tv.select("variant", "term", "variant_bucket"), tv_path, ["variant_bucket"]
     )
+    with open(os.path.join(tv_path, "_symspell.json"), "w") as f:
+        json.dump({"max_depth": 2, "depth2_min_len": SYMSPELL_DEPTH2_MIN_LEN}, f)
+
+
+def pos_cache_term_dir(root: str, term: str) -> str:
+    """Filesystem-safe per-term artifact dir (md5 digest of the term;
+    the digest is a filename, never a lookup key — loaders verify the
+    exact term against meta.json, so a collision degrades to a miss)."""
+    import hashlib
+
+    return os.path.join(root, "t_" + hashlib.md5(term.encode("utf-8")).hexdigest())
+
+
+def build_pos_cache(
+    spark: SparkSession, paths: IndexPaths, cfg: BuildConfig, n_docs: int
+) -> int:
+    """Materialize the positional serving cache for HOT terms at build
+    time: each term's decoded (ids, tfs, dls) posting arrays plus the
+    SORTED composite (doc·2^21 + pos) key array — exactly the
+    ``_PosCache`` entry the phrase/proximity/composed serving path
+    consumes — written as raw ``.npy`` files the engine mmaps on first
+    touch.  Turns the serving cold-start from O(decode + sort) (a
+    measured 52.9 s for one hot-term query set on a 2M-turn index)
+    into O(read).
+
+    One task per hot term (the per-term arrays are inherently a single
+    serialized artifact): hot terms are bounded by df >= 1% of the
+    corpus, so this is a few hundred tasks over the already-encoded
+    segments.  Like the dense-contribution cache, the artifact serves
+    the SINGLE-NODE serving regime — the 10^12-doc path is the
+    doc-range-sharded plans, which never touch it.  The root is wiped
+    first so a rebuild (resumed offline build over more data) can
+    never leave a stale no-longer-hot term behind; readers that race
+    the wipe fall back to the decode path (artifact miss is always
+    safe).  Tombstones and tiers are applied/merged at LOAD time by
+    the engine, so the artifact is a pure function of this
+    generation's base segments."""
+    import shutil
+
+    thresh = max(cfg.serving_cache_min_df, 0.01 * n_docs)
+    root = paths.pos_cache
+    hot = (
+        spark.read.parquet(paths.term_stats)
+        .filter(F.col("df") >= F.lit(float(thresh)))
+        .select("term_bucket", "term")
+    )
+    segs = spark.read.parquet(paths.segments).join(
+        F.broadcast(hot), ["term_bucket", "term"]
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    def writer(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+        import shutil as _sh
+        import uuid
+
+        import bilies_go_spark
+        from bilies_go_spark.operators.codec import row_to_segment
+        from bilies_go_spark.operators.query import build_pos_entry
+
+        term = str(pdf["term"].iloc[0])
+        vb = int(
+            pdf["doc_gaps_vb"].str.len().sum()
+            + pdf["tfs_vb"].str.len().sum()
+            + pdf["dls_vb"].str.len().sum()
+            + pdf["positions_vb"].str.len().sum()
+        )
+        bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+        runs = [row_to_segment(r) for _, r in pdf.iterrows()]
+        ids, tfs, dls, keys = build_pos_entry(runs, None)
+        final = pos_cache_term_dir(root, term)
+        tmp = final + ".tmp." + uuid.uuid4().hex[:8]
+        os.makedirs(tmp)
+        np.save(os.path.join(tmp, "ids.npy"), ids)
+        np.save(os.path.join(tmp, "tfs.npy"), tfs)
+        np.save(os.path.join(tmp, "dls.npy"), dls)
+        np.save(os.path.join(tmp, "keys.npy"), keys)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"term": term, "n_postings": int(ids.size)}, f)
+        _sh.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)  # term dirs appear atomically
+        nb = int(ids.nbytes + tfs.nbytes + dls.nbytes + keys.nbytes)
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "n_postings": int(ids.size),
+                    "n_keys": int(keys.size),
+                    "n_bytes": nb,
+                }
+            ]
+        )
+
+    manifest = segs.groupBy("term").applyInPandas(
+        writer, schema="term string, n_postings bigint, n_keys bigint, n_bytes bigint"
+    )
+    # O(#hot terms) rows — driver-metadata-sized
+    return len(manifest.collect())
 
 
 def pending_folds(spark: SparkSession, lineage: Lineage) -> list[str]:
@@ -693,6 +840,8 @@ def build_index(
     build_segments(spark, paths, cfg, lineage)
     build_term_variants(spark, paths.term_stats, paths.term_variants, cfg)
     stats = finalize_stats(spark, paths, lineage)
+    if cfg.positions and cfg.serving_cache:
+        build_pos_cache(spark, paths, cfg, stats["n_docs"])
     publish_full_view(spark, paths, lineage, stats)
     return paths
 
@@ -758,14 +907,14 @@ def gc_stale_generations(paths: IndexPaths) -> list[str]:
     live_tiers = {t["id"] for t in cur["tiers"]}
     removed = []
     for name in sorted(os.listdir(paths.root)) if os.path.isdir(paths.root) else []:
-        for prefix in ("segments.g", "term_stats.g", "term_variants.g"):
+        for prefix in ("segments.g", "term_stats.g", "term_variants.g", "pos_cache.g"):
             if name.startswith(prefix):
                 gen = int(name[len(prefix):])
                 if gen != cur["gen"]:
                     shutil.rmtree(os.path.join(paths.root, name), ignore_errors=True)
                     removed.append(name)
     if cur["gen"] != 0:
-        for name in ("segments", "term_stats", "term_variants"):  # generation 0
+        for name in ("segments", "term_stats", "term_variants", "pos_cache"):  # generation 0
             p = os.path.join(paths.root, name)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
@@ -789,6 +938,8 @@ def write_index_meta(paths: IndexPaths, cfg: BuildConfig) -> None:
         "target_postings_per_salt": cfg.target_postings_per_salt,
         "build_part_expr": cfg.build_part_expr,
         "positions": cfg.positions,
+        "serving_cache": cfg.serving_cache,
+        "serving_cache_min_df": cfg.serving_cache_min_df,
         "format_version": 1,
     }
     tmp = os.path.join(paths.root, "_index_meta.json.tmp")

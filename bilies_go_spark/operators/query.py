@@ -1087,6 +1087,54 @@ def _alive_quad(quad, deleted):
     return ids[keep], tfs[keep], dls[keep], pos[np.repeat(keep, tfs)]
 
 
+def build_pos_entry(runs, deleted=None):
+    """(ids int64, tfs int32, dls int32, SORTED composite keys int64)
+    for one term from its segment runs — the ``_PosCache`` entry
+    payload, shared by the serving fill path and the build-time
+    artifact writer (``index_build.build_pos_cache``).  ``deleted``
+    masks tombstoned docs (None at build time — fresh generations have
+    no tombstones; the loader masks at read instead)."""
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    parts = [_alive_quad(decode_masked_pos(seg, None), deleted) for seg in runs]
+    parts = [p for p in parts if p[0].size]
+    e = np.empty(0, dtype=np.int64)
+    if not parts:
+        quad = (e, e, e, e)
+    elif len(parts) == 1:
+        quad = parts[0]
+    else:
+        quad = tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+    ids, tfs, dls, pos = quad
+    if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+        raise ValueError("document longer than 2^21 tokens — position key overflow")
+    keys = (np.repeat(ids, tfs) << PHRASE_POS_SHIFT) + pos
+    keys.sort()
+    return (
+        ids.astype(np.int64, copy=False),
+        tfs.astype(np.int32),
+        dls.astype(np.int32),
+        keys,
+    )
+
+
+def _merge_sorted_i64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Linear merge of two sorted int64 arrays (no re-sort): the
+    artifact loader splices small decoded tier key streams into the
+    big persisted base stream.  O(|a| + |b|) scatter plus two
+    searchsorteds on the smaller side."""
+    if not b.size:
+        return a
+    if not a.size:
+        return b
+    out = np.empty(a.size + b.size, dtype=np.int64)
+    # equal keys cannot collide: a's elements count b-keys strictly
+    # before them, b's count a-keys at-or-before
+    out[np.arange(a.size) + np.searchsorted(b, a, side="left")] = a
+    out[np.arange(b.size) + np.searchsorted(a, b, side="right")] = b
+    return out
+
+
 def _restrict_triple(triple, cand: np.ndarray):
     """Keep only candidate docs (sorted ``cand``) in a decoded
     (ids, tfs, dls) triple — the position-free sibling of
@@ -1444,6 +1492,43 @@ HIGHLIGHT_SCHEMA = (
     "query_id bigint, rank int, doc_id bigint, score double, "
     "win_start bigint, win_end bigint"
 )
+
+
+from pyspark.sql import types as _T
+
+_WIN_OFF_TYPE = _T.StructType(
+    [
+        _T.StructField("char_start", _T.LongType()),
+        _T.StructField("char_end", _T.LongType()),
+    ]
+)
+
+
+# schema passed as a DataType object, NOT a DDL string: DDL parsing at
+# decoration time needs an active SparkSession, which import must not
+@F.pandas_udf(_WIN_OFF_TYPE)
+def _win_char_offsets(
+    text: pd.Series, win_start: pd.Series, win_end: pd.Series
+) -> pd.DataFrame:
+    """Token window -> char span in the ORIGINAL text (0-based,
+    end-exclusive), Arrow-batched.  Runs only on the broadcast-joined
+    top-k rows (k·|queries| per batch), never the full docs scan —
+    token spans are ``[a-z0-9]+`` match offsets on the lowercased text
+    (length-preserving), the same arithmetic as
+    :func:`bilies_go_spark.functions.tokenize.token_offsets_py` and the
+    DuckDB oracle's cumulative-separator reconstruction."""
+    import re
+
+    pat = re.compile("[a-z0-9]+")
+    cs = np.empty(len(text), dtype=np.int64)
+    ce = np.empty(len(text), dtype=np.int64)
+    ws = win_start.to_numpy(np.int64)
+    we = win_end.to_numpy(np.int64)
+    for i, t in enumerate(text):
+        spans = [(m.start(), m.end()) for m in pat.finditer((t or "").lower())]
+        cs[i] = spans[ws[i]][0] if ws[i] < len(spans) else 0
+        ce[i] = spans[we[i]][1] if we[i] < len(spans) else 0
+    return pd.DataFrame({"char_start": cs, "char_end": ce})
 
 
 def highlight_query_kernel(
@@ -2423,6 +2508,11 @@ class QueryEngine:
         self.pos_cache = _PosCache(
             int(_os.environ.get("BGS_POS_CACHE_MB", "1024")) << 20
         )
+        # build-time positional artifact (index_build.build_pos_cache);
+        # BGS_POS_ARTIFACT=0 forces the decode fill path (A/B lever)
+        self._pos_artifact = _os.environ.get(
+            "BGS_POS_ARTIFACT", "1"
+        ) != "0" and os.path.isdir(self.paths.pos_cache)
         # delta tiers from incremental compaction (streaming/ingest.
         # compact_tiered): unioned with the base segments on every path.
         # Tiers are doc-disjoint by the append-only id contract, so the
@@ -2712,39 +2802,76 @@ class QueryEngine:
         subsume the raw positions, so positions are not stored: a hot
         term's entry is ~20 B/posting + 8 B/occurrence).  Hot terms
         cache fill-once (:class:`_PosCache`), rare terms decode per
-        query (cheap by definition)."""
+        query (cheap by definition).  Terms persisted by
+        ``build_pos_cache`` load O(read) from the mmapped artifact
+        (tiers merged, tombstones masked at load) instead of paying
+        the O(decode + sort) fill."""
         hit = self.pos_cache.get(term)
         if hit is not None:
             return hit
-        from bilies_go_spark.operators.codec import decode_masked_pos
-
-        runs = [row_to_segment(r) for _, r in rows.iterrows()]
-        parts = [
-            _alive_quad(decode_masked_pos(seg, None), self.deleted) for seg in runs
-        ]
-        parts = [p for p in parts if p[0].size]
-        e = np.empty(0, dtype=np.int64)
-        if not parts:
-            quad = (e, e, e, e)
-        elif len(parts) == 1:
-            quad = parts[0]
-        else:
-            quad = tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
-        ids, tfs, dls, pos = quad
-        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
-            raise ValueError("document longer than 2^21 tokens — position key overflow")
-        keys = (np.repeat(ids, tfs) << PHRASE_POS_SHIFT) + pos
-        keys.sort()
-        entry = (
-            ids.astype(np.int64, copy=False),
-            tfs.astype(np.int32),
-            dls.astype(np.int32),
-            keys,
-        )
+        entry = self._pos_artifact_entry(term, rows)
+        if entry is None:
+            runs = [row_to_segment(r) for _, r in rows.iterrows()]
+            entry = build_pos_entry(runs, self.deleted)
         dfreq = int(rows["df"].iloc[0]) if len(rows) else 0
         if dfreq >= max(1000, self.HOT_DF_FRAC * self.n_docs):
             self.pos_cache.put(term, entry)
         return entry
+
+    def _pos_artifact_entry(self, term: str, rows: pd.DataFrame):
+        """Load a term's serving entry from the build-time artifact
+        (``index_build.build_pos_cache``): mmap the base generation's
+        (ids, tfs, dls, keys) arrays, merge in live tier runs (decoded
+        — tiers are small by construction), and mask the engine-pinned
+        tombstones.  None on any miss (absent root/term, digest
+        collision, artifact disabled) — the decode path is always a
+        safe fallback."""
+        if not self._pos_artifact:
+            return None
+        import json
+
+        from bilies_go_spark.operators.index_build import pos_cache_term_dir
+
+        d = pos_cache_term_dir(self.paths.pos_cache, term)
+        try:
+            with open(os.path.join(d, "meta.json")) as f:
+                meta = json.load(f)
+            if meta.get("term") != term:
+                return None  # digest collision — treat as a miss
+            ids = np.load(os.path.join(d, "ids.npy"), mmap_mode="r")
+            tfs = np.load(os.path.join(d, "tfs.npy"), mmap_mode="r")
+            dls = np.load(os.path.join(d, "dls.npy"), mmap_mode="r")
+            keys = np.load(os.path.join(d, "keys.npy"), mmap_mode="r")
+        except (OSError, ValueError):
+            return None
+        # the artifact is a pure function of the BASE segments; live
+        # tier runs (doc-disjoint with the base) decode and merge here
+        if "_src" in rows.columns and (rows["_src"] > 0).any():
+            truns = [
+                row_to_segment(r) for _, r in rows[rows["_src"] > 0].iterrows()
+            ]
+            t_ids, t_tfs, t_dls, t_keys = build_pos_entry(truns, None)
+            if t_ids.size:
+                ids = np.concatenate([np.asarray(ids), t_ids])
+                tfs = np.concatenate([np.asarray(tfs), t_tfs])
+                dls = np.concatenate([np.asarray(dls), t_dls])
+                keys = _merge_sorted_i64(np.asarray(keys), t_keys)
+        if self.deleted is not None and self.deleted.size:
+            ids = np.asarray(ids)
+            keep = _keep_mask(ids, self.deleted)
+            if keep is not None and not keep.all():
+                keys = np.asarray(keys)
+                kkeep = _keep_mask(keys >> PHRASE_POS_SHIFT, self.deleted)
+                keys = keys[kkeep]
+                ids = ids[keep]
+                tfs = np.asarray(tfs)[keep]
+                dls = np.asarray(dls)[keep]
+        return (
+            np.asarray(ids, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int32),
+            np.asarray(dls, dtype=np.int32),
+            np.asarray(keys, dtype=np.int64),
+        )
 
     def _pos_local(self, qt_pdf: pd.DataFrame, kind: str) -> pd.DataFrame:
         """Driver serving path for phrase / proximity over the
@@ -3428,22 +3555,42 @@ class QueryEngine:
             )
         if docs_df is None:
             return out
-        toks = docs_df.select("doc_id", tokenize_col("text").alias("tk"))
-        return F.broadcast(out).join(toks, "doc_id").select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "score",
-            "win_start",
-            "win_end",
-            F.array_join(
-                F.slice(
-                    F.col("tk"),
-                    F.col("win_start").cast("int") + F.lit(1),
-                    (F.col("win_end") - F.col("win_start")).cast("int") + F.lit(1),
-                ),
-                " ",
-            ).alias("snippet"),
+        toks = docs_df.select(
+            "doc_id", "text", tokenize_col("text").alias("tk")
+        )
+        return (
+            F.broadcast(out)
+            .join(toks, "doc_id")
+            .withColumn(
+                "_off",
+                _win_char_offsets("text", "win_start", "win_end"),
+            )
+            .select(
+                "query_id",
+                "rank",
+                "doc_id",
+                "score",
+                "win_start",
+                "win_end",
+                F.array_join(
+                    F.slice(
+                        F.col("tk"),
+                        F.col("win_start").cast("int") + F.lit(1),
+                        (F.col("win_end") - F.col("win_start")).cast("int")
+                        + F.lit(1),
+                    ),
+                    " ",
+                ).alias("snippet"),
+                F.col("_off.char_start").alias("char_start"),
+                F.col("_off.char_end").alias("char_end"),
+                # ES-style fragment: the RAW text slice under the window
+                # (char offsets index the original string — tags are a
+                # presentation concern layered on these offsets)
+                F.expr(
+                    "substring(text, _off.char_start + 1, "
+                    "_off.char_end - _off.char_start)"
+                ).alias("fragment"),
+            )
         )
 
     def match_ids(
@@ -3665,6 +3812,36 @@ class QueryEngine:
     def _deletion_variants(tok: str) -> list[str]:
         return [tok] + [tok[:i] + tok[i + 1 :] for i in range(len(tok))]
 
+    @staticmethod
+    def _deletion_variants_d(tok: str, depth: int) -> set[str]:
+        """All distinct strings reachable by deleting up to ``depth``
+        characters from ``tok`` (depth is 0..2 in practice — ES AUTO
+        never goes beyond distance 2)."""
+        out = {tok}
+        frontier = {tok}
+        for _ in range(depth):
+            frontier = {
+                v[:i] + v[i + 1 :] for v in frontier for i in range(len(v))
+            }
+            out |= frontier
+        return out
+
+    def _tv_depth2(self, tv_roots: list[str]) -> bool:
+        """True iff EVERY variant root was built with depth-2 deletions
+        (the ``_symspell.json`` marker, index_build.build_term_variants)
+        — required before AUTO expansion may use the dictionary path;
+        a depth-1-only table would silently miss distance-2 matches."""
+        import json
+
+        for root in tv_roots:
+            try:
+                with open(os.path.join(root, "_symspell.json")) as f:
+                    if int(json.load(f).get("max_depth", 1)) < 2:
+                        return False
+            except (OSError, ValueError):
+                return False
+        return True
+
     def _tv_roots(self) -> list[str]:
         """Variant-dictionary roots, one per vocabulary (stats) root.
         Returns [] — routing expansion to the legacy vocabulary scan —
@@ -3686,28 +3863,41 @@ class QueryEngine:
             out.append(tv)
         return out
 
-    def expand_fuzzy(self, toks: list[str]) -> dict[str, list[str]]:
-        """Dictionary terms within Levenshtein distance 1 of each
-        token, via the PRE-BUILT SymSpell deletion-variant dictionary
-        (index_build.build_term_variants): any distance-<=1 pair shares
-        a 0/1-char-deletion variant, so expansion is a variant_bucket-
+    def expand_fuzzy(
+        self, toks: list[str], auto: bool = False
+    ) -> dict[str, list[str]]:
+        """Dictionary terms within edit distance of each token, via the
+        PRE-BUILT SymSpell deletion-variant dictionary
+        (index_build.build_term_variants): any distance-<=d pair shares
+        a <=d-char-deletion variant, so expansion is a variant_bucket-
         pruned pyarrow equality lookup over the query's own variants
         (O(query variants), no Spark job, never a vocabulary scan) +
         an exact edit-distance verify on the handful of candidates.
-        Indexes built before the variant table fall back to the legacy
+
+        ``auto=False``: Levenshtein <= 1 for every token (the legacy
+        trailing-``~`` surface).  ``auto=True``: ES ``AUTO`` fuzziness
+        — per-token distance 0/1/2 by length (:func:`_auto_fuzzy_dist`),
+        requiring a depth-2 variant table (``_symspell.json`` marker)
+        when any token reaches distance 2.  Indexes whose variant
+        tables are missing or too shallow fall back to the legacy
         per-batch vocabulary-scan join."""
         if not toks:
             return {}
+        dists = {
+            t: (_auto_fuzzy_dist(t) if auto else 1) for t in set(toks)
+        }
         tv_roots = self._tv_roots()
-        if not tv_roots:
-            return self._expand_fuzzy_scan(toks)
+        if not tv_roots or (
+            max(dists.values()) > 1 and not self._tv_depth2(tv_roots)
+        ):
+            return self._expand_fuzzy_scan(toks, auto=auto)
         import pyarrow.dataset as pads
 
         from bilies_go_spark.functions.xxhash import term_bucket_py
 
         qvar: dict[str, set[str]] = {}
         for t in sorted(set(toks)):
-            for v in self._deletion_variants(t):
+            for v in self._deletion_variants_d(t, dists[t]):
                 qvar.setdefault(v, set()).add(t)
         vs = sorted(qvar)
         buckets = sorted({term_bucket_py(v, self.meta["n_buckets"]) for v in vs})
@@ -3719,24 +3909,34 @@ class QueryEngine:
             )
             for v, term in zip(tb["variant"].to_pylist(), tb["term"].to_pylist()):
                 for qt in qvar[v]:
-                    if _lev_le1(qt, term):
+                    if _lev_bounded(qt, term, dists[qt]):
                         out[qt].add(term)
         return {t: sorted(v) for t, v in out.items()}
 
-    def _expand_fuzzy_scan(self, toks: list[str]) -> dict[str, list[str]]:
+    def _expand_fuzzy_scan(
+        self, toks: list[str], auto: bool = False
+    ) -> dict[str, list[str]]:
         """Legacy expansion for variant-table-less indexes: the same
         SymSpell join as DataFrame ops — the vocabulary side streams
         through explode + broadcast-join (never collected, linear in
         dictionary size), and only the tiny verified expansion
-        returns.  Correct but pays a full vocabulary scan per batch."""
-        from bilies_go_spark.operators.index_build import DELETION_VARIANTS_EXPR
+        returns.  Correct but pays a full vocabulary scan per batch.
+        ``auto=True`` applies ES AUTO per-token distances (vocabulary
+        side explodes depth-2 variants for >= 6-char terms)."""
+        from bilies_go_spark.operators.index_build import (
+            DELETION_VARIANTS2_EXPR,
+            DELETION_VARIANTS_EXPR,
+        )
 
+        dists = {t: (_auto_fuzzy_dist(t) if auto else 1) for t in set(toks)}
         qrows = [
-            (t, v) for t in sorted(set(toks)) for v in self._deletion_variants(t)
+            (t, v, dists[t])
+            for t in sorted(set(toks))
+            for v in sorted(self._deletion_variants_d(t, dists[t]))
         ]
         qv = self.spark.createDataFrame(
-            pd.DataFrame(qrows, columns=["qtok", "variant"]),
-            schema="qtok string, variant string",
+            pd.DataFrame(qrows, columns=["qtok", "variant", "dist"]),
+            schema="qtok string, variant string, dist int",
         )
         from functools import reduce
 
@@ -3747,30 +3947,42 @@ class QueryEngine:
                 for p in self._ts_roots()
             ],
         ).distinct()
+        vexpr = DELETION_VARIANTS2_EXPR if auto else DELETION_VARIANTS_EXPR
         cand = (
-            vocab.select("term", F.explode(F.expr(DELETION_VARIANTS_EXPR)).alias("variant"))
+            vocab.select("term", F.explode(F.expr(vexpr)).alias("variant"))
             .join(F.broadcast(qv), "variant")
-            .select("qtok", "term")
+            .select("qtok", "term", "dist")
             .distinct()
-            .filter(F.levenshtein(F.col("qtok"), F.col("term")) <= 1)
+            .filter(F.levenshtein(F.col("qtok"), F.col("term")) <= F.col("dist"))
         )
         out: dict[str, list[str]] = {t: [] for t in set(toks)}
-        for r in cand.collect():
+        for r in cand.select("qtok", "term").distinct().collect():
             out[r["qtok"]].append(r["term"])
         return {t: sorted(v) for t, v in out.items()}
 
-    def topk_fuzzy(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+    def topk_fuzzy(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        fuzziness: str = "1",
+    ) -> DataFrame:
         """Disjunctive top-k with Lucene-style trailing-``~`` fuzzy
         terms: each fuzzy token expands to the dictionary terms within
-        Levenshtein distance 1 (:meth:`expand_fuzzy`) and the query
-        scores as the OR of all expanded terms — same exact-scoring
-        rewrite as :meth:`topk_prefix`.  Works on any index."""
+        edit distance (:meth:`expand_fuzzy`) and the query scores as
+        the OR of all expanded terms — same exact-scoring rewrite as
+        :meth:`topk_prefix`.  Works on any index.
+
+        ``fuzziness='1'``: Levenshtein <= 1 for every fuzzy token.
+        ``fuzziness='auto'``: ES AUTO — distance 0 for 1-2 char
+        tokens, 1 for 3-5, 2 for >= 6."""
+        if fuzziness not in ("1", "auto"):
+            raise ValueError(f"fuzziness must be '1' or 'auto', got {fuzziness!r}")
         parsed = {
             int(r.query_id): self._parse_fuzzy_query(r.text)
             for r in queries.itertuples(index=False)
         }
         fuzzy_toks = sorted({tok for ps in parsed.values() for tok, isf in ps if isf})
-        expansion = self.expand_fuzzy(fuzzy_toks)
+        expansion = self.expand_fuzzy(fuzzy_toks, auto=fuzziness == "auto")
         rows = []
         for r in queries.itertuples(index=False):
             terms: set[str] = set()
@@ -3788,6 +4000,10 @@ class QueryEngine:
 
     _PHRASE_RE = re.compile(r'"([^"]*)"')
     _NEG_PHRASE_RE = re.compile(r'-\s*"([^"]*)"')
+    # field-scoped clause: role:assistant / -lang:zh.  The field name
+    # must look like an identifier, so times ("12:30") and URLs stay
+    # ordinary analyzed text.
+    _FIELD_RE = re.compile(r"^(-?)([a-z_][a-z0-9_]*):(\S+)$")
 
     @staticmethod
     def _parse_composed_query(text: str) -> dict:
@@ -3798,17 +4014,24 @@ class QueryEngine:
         * ``-tok``             -> MUST_NOT term
         * ``tok*``             -> prefix expansion (SHOULD)
         * ``tok~``             -> fuzzy (Levenshtein<=1) expansion (SHOULD)
+        * ``field:value``      -> metadata filter (MUST; ``-field:value``
+          excludes) — values are NOT analyzed, they compare as-is
+          against the doc-metadata column (see ``topk_composed``'s
+          ``fields_df``)
         * bare tokens          -> SHOULD terms (scoring)
 
         Returns ``{"phrases", "should", "prefix", "fuzzy", "neg",
-        "neg_phrases"}`` of analyzer-normalized tokens.  A negated
-        phrase that normalizes to a single token folds into ``neg``
-        (identical semantics, no positional work)."""
+        "neg_phrases", "fields", "neg_fields"}`` of analyzer-normalized
+        tokens (field names/values verbatim).  A negated phrase that
+        normalizes to a single token folds into ``neg`` (identical
+        semantics, no positional work)."""
         from bilies_go_spark.functions.tokenize import tokenize_py
 
         phrases: list[list[str]] = []
         neg_phrases: list[list[str]] = []
         neg: list[str] = []
+        fields: list[tuple[str, str]] = []
+        neg_fields: list[tuple[str, str]] = []
 
         def _grab_neg(m):
             toks = tokenize_py(m.group(1))
@@ -3831,7 +4054,11 @@ class QueryEngine:
         prefix: list[str] = []
         fuzzy: list[str] = []
         for piece in rest.split():
-            if piece.startswith("-"):
+            fm = QueryEngine._FIELD_RE.match(piece)
+            if fm:
+                pair = (fm.group(2), fm.group(3))
+                (neg_fields if fm.group(1) else fields).append(pair)
+            elif piece.startswith("-"):
                 toks = tokenize_py(piece[1:])
                 if len(toks) != 1:
                     raise ValueError(f"negated piece {piece!r} is not a single term")
@@ -3855,7 +4082,42 @@ class QueryEngine:
             "fuzzy": fuzzy,
             "neg": neg,
             "neg_phrases": neg_phrases,
+            "fields": fields,
+            "neg_fields": neg_fields,
         }
+
+    def _resolve_field_filter(
+        self,
+        fields: tuple,
+        neg_fields: tuple,
+        fields_df: DataFrame,
+        allowed: "np.ndarray | None",
+    ) -> np.ndarray:
+        """Resolve one field-clause set to a sorted allowed-id array:
+        a pruned scan of the metadata table (predicates push down to
+        the parquet reader), intersected with any caller-supplied
+        tenant set.  Negation is null-safe the ES way — a doc MISSING
+        the field still matches ``-field:value``.  The resulting set
+        rides the normal filter path (:class:`DocBitmap` + broadcast
+        when large), so a billion-doc ``lang:en`` scope ships as
+        packed bits, not an id list."""
+        cond = F.lit(True)
+        for fname, val in fields:
+            cond = cond & F.col(fname).cast("string").eqNullSafe(F.lit(val))
+        for fname, val in neg_fields:
+            cond = cond & ~F.col(fname).cast("string").eqNullSafe(F.lit(val))
+        ids = (
+            fields_df.where(cond)
+            .select("doc_id")
+            .toPandas()["doc_id"]
+            .to_numpy(np.int64)
+        )
+        ids = np.unique(ids)  # sorts too
+        if allowed is not None:
+            ids = np.intersect1d(
+                ids, np.ascontiguousarray(allowed, dtype=np.int64)
+            )
+        return ids
 
     def topk_composed(
         self,
@@ -3863,11 +4125,15 @@ class QueryEngine:
         allowed: "np.ndarray | None" = None,
         mode: str = "distributed",
         n_shards: int | None = None,
+        fields_df: "DataFrame | None" = None,
+        _fields_resolved: bool = False,
     ) -> DataFrame:
         """Composed search: ONE query string mixing phrase + negated
         phrase (``-"..."``) + MUST_NOT term + prefix + fuzzy + bare
-        terms, optionally under an allowed-set filter — the ES ``bool``
-        request surface the reference's users write, served by
+        terms + metadata scopes (``field:value`` / ``-field:value``,
+        resolved against ``fields_df``), optionally under an
+        allowed-set filter — the ES ``bool`` request surface the
+        reference's users write, served by
         :func:`composed_query_kernel`.
 
         Expansion (prefix dictionary range scan, fuzzy SymSpell join)
@@ -3882,6 +4148,42 @@ class QueryEngine:
             int(r.query_id): self._parse_composed_query(r.text)
             for r in queries.itertuples(index=False)
         }
+        if not _fields_resolved and any(
+            s["fields"] or s["neg_fields"] for s in parsed.values()
+        ):
+            # field-scoped clauses: group queries by their clause set,
+            # resolve each set to an allowed-id array ONCE, and run the
+            # normal batch machinery per group.  Group count is the
+            # number of DISTINCT clause sets in the batch (small), not
+            # the query count.
+            if fields_df is None:
+                raise ValueError(
+                    "field-scoped clauses (field:value) need fields_df — a "
+                    "DataFrame of doc_id + the metadata columns they name"
+                )
+            groups: dict[tuple, list[int]] = {}
+            for qid, s in parsed.items():
+                key = (
+                    tuple(sorted(set(s["fields"]))),
+                    tuple(sorted(set(s["neg_fields"]))),
+                )
+                groups.setdefault(key, []).append(qid)
+            out = None
+            for (fpos, fneg), qids in sorted(groups.items()):
+                sub_allowed = (
+                    self._resolve_field_filter(fpos, fneg, fields_df, allowed)
+                    if (fpos or fneg)
+                    else allowed
+                )
+                part = self.topk_composed(
+                    queries[queries["query_id"].isin(qids)],
+                    allowed=sub_allowed,
+                    mode=mode,
+                    n_shards=n_shards,
+                    _fields_resolved=True,
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
         all_prefix = sorted({p for s in parsed.values() for p in s["prefix"]})
         all_fuzzy = sorted({f for s in parsed.values() for f in s["fuzzy"]})
         pre_exp = self.expand_prefixes(all_prefix) if all_prefix else {}
@@ -4156,11 +4458,12 @@ class QueryEngine:
             # the margin of the kth raw score, so a downstream rounded
             # re-rank is exact.  kth score = min over the raw top-k.
             wq = Window.partitionBy("query_id")
-            kth = F.min(
-                F.when(F.col("rank") <= F.col("k"), F.col("score"))
-            ).over(wq)
+            ranked = ranked.withColumn(
+                "_kth",
+                F.min(F.when(F.col("rank") <= F.col("k"), F.col("score"))).over(wq),
+            )
             keep = (F.col("rank") <= F.col("k")) | (
-                F.col("score") >= kth - F.lit(margin)
+                F.col("score") >= F.col("_kth") - F.lit(margin)
             )
             return ranked.filter(keep).select(*cols)
         return ranked.filter(F.col("rank") <= F.col("k")).select(*cols)
@@ -4198,7 +4501,13 @@ class QueryEngine:
             seg_dss, ts_dss = self._datasets()
             buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in missing})
             filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(missing)
-            seg_parts = [ds.to_table(filter=filt).to_pandas() for ds in seg_dss]
+            seg_parts = []
+            for si, ds in enumerate(seg_dss):
+                p = ds.to_table(filter=filt).to_pandas()
+                # provenance: 0 = base generation, >0 = tier index —
+                # the positional artifact loader decodes only tier rows
+                p["_src"] = si
+                seg_parts.append(p)
             ts_parts = [
                 ds.to_table(filter=filt, columns=["term", "df"]).to_pandas()
                 for ds in ts_dss
@@ -4373,6 +4682,109 @@ class QueryEngine:
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
+    def topk_page(
+        self,
+        queries: pd.DataFrame,
+        kind: str = "or",
+        round_digits: int = 6,
+        **run_kwargs,
+    ) -> DataFrame:
+        """ES ``search_after`` pagination over any top-k surface.
+
+        ``queries`` carries the usual (query_id, text, k) plus the
+        cursor columns ``after_score`` (the ROUNDED score of the last
+        hit the client saw — exactly what this surface emits) and
+        ``after_doc_id``; NaN/None cursor means page 1.  Returns the
+        next k hits STRICTLY after the cursor in
+        (round(score, round_digits) DESC, doc_id ASC) order — the
+        pinned display order — with page-relative ranks 1..k and
+        rounded scores (absolute rank is client-side state, as in ES).
+
+        Exact at any depth via geometric overfetch: run the underlying
+        surface at k_eff, emit only if >= k complete hits lie after the
+        cursor, else re-run with k_eff x4 (each re-run is still one
+        top-k_eff query — no full sort, no full scan; the typical
+        page-2 call resolves in the first iteration).  Rounded-order
+        exactness needs the engine's tie_margin to cover a rounding
+        ulp, so the boundary tie group is never silently split —
+        construct the engine with ``tie_margin=10**-round_digits``.
+
+        ``kind``: 'or' (disjunctive :meth:`topk`), 'conjunctive', or
+        'phrase'; ``run_kwargs`` (e.g. ``mode=``, ``n_shards=``) pass
+        through to the underlying surface, so pagination is
+        path-agnostic (serving local / distributed / sharded)."""
+        if self.tie_margin < 10.0 ** (-round_digits):
+            raise ValueError(
+                "topk_page needs tie_margin >= 10**-round_digits for exact "
+                "rounded-order pages; construct QueryEngine(tie_margin=...)"
+            )
+        runners = {
+            "or": self.topk,
+            "conjunctive": lambda q, **kw: self.topk_conjunctive(q),
+            "phrase": self.topk_phrase,
+        }
+        if kind not in runners:
+            raise ValueError(f"unknown kind {kind!r}")
+        run = runners[kind]
+        out = []
+        pend = queries.copy()
+        pend["mult"] = 2
+        while len(pend):
+            run_q = pend.assign(k=(pend["k"] * pend["mult"]).astype("int64"))[
+                ["query_id", "text", "k"]
+            ]
+            res = run(run_q, **run_kwargs).toPandas()
+            still = []
+            for r in pend.itertuples(index=False):
+                k, k_eff = int(r.k), int(r.k) * int(r.mult)
+                sub = res[res["query_id"] == int(r.query_id)].copy()
+                sub["score"] = sub["score"].round(round_digits)
+                sub = sub.sort_values(
+                    ["score", "doc_id"], ascending=[False, True]
+                )
+                exhausted = len(sub) < k_eff
+                if not exhausted and len(sub):
+                    # the lowest rounded-score group may be split by the
+                    # raw-order cut; drop it unless the result set is
+                    # already the whole match set
+                    sub = sub[sub["score"] > sub["score"].min()]
+                a_s = getattr(r, "after_score", None)
+                if a_s is not None and not pd.isna(a_s):
+                    a_s, a_d = float(a_s), int(r.after_doc_id)
+                    sub = sub[
+                        (sub["score"] < a_s)
+                        | ((sub["score"] == a_s) & (sub["doc_id"] > a_d))
+                    ]
+                if len(sub) >= k or exhausted:
+                    page = sub.head(k)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": int(r.query_id),
+                                "rank": np.arange(1, len(page) + 1, dtype="int32"),
+                                "doc_id": page["doc_id"].to_numpy(),
+                                "score": page["score"].to_numpy(),
+                            }
+                        )
+                    )
+                else:
+                    still.append(r)
+            pend = (
+                pd.DataFrame(still).assign(mult=lambda d: d["mult"] * 4)
+                if still
+                else pd.DataFrame()
+            )
+        pdf = (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            )
+        )
+        if pdf.empty:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self.spark.createDataFrame(pdf, schema=TOPK_SCHEMA)
+
     def topk(
         self,
         queries: pd.DataFrame,
@@ -4411,6 +4823,48 @@ def _lev_le1(a: str, b: str) -> bool:
     while i < la and a[i] == b[i]:
         i += 1
     return a[i:] == b[i + 1 :]
+
+
+def _auto_fuzzy_dist(tok: str) -> int:
+    """ES ``AUTO`` fuzziness: edit distance 0 for 1-2 char terms, 1
+    for 3-5, 2 for >= 6 — what the reference's users get from the ES
+    query DSL (/root/reference/README.md:8-11)."""
+    n = len(tok)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
+def _lev_bounded(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k for small k — the exact verify on
+    SymSpell variant-join candidates (a shared deletion variant admits
+    pairs beyond the target distance).  O(len) for k <= 1, banded DP
+    with row-min early exit for k == 2 (tokens are short; the band is
+    5 cells wide)."""
+    if k <= 1:
+        return a == b if k == 0 else _lev_le1(a, b)
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        bj = b[j - 1]
+        lo, hi = max(1, j - k), min(la, j + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1  # outside the band
+        for i in range(lo, hi + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != bj),
+            )
+        if hi < la:
+            cur[hi + 1 :] = [k + 1] * (la - hi)
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[la] <= k
 
 
 def _tokenize_terms(text: str) -> set[str]:

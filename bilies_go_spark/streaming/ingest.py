@@ -183,6 +183,8 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
             block_size=meta["block_size"],
             target_postings_per_salt=meta["target_postings_per_salt"],
             positions=meta.get("positions", False),
+            serving_cache=meta.get("serving_cache", True),
+            serving_cache_min_df=meta.get("serving_cache_min_df", 1000),
         )
     paths = IndexPaths(index_dir)
     gc_stale_generations(paths)
@@ -192,6 +194,12 @@ def compact(spark: SparkSession, index_dir: str, cfg: BuildConfig | None = None)
     build_segments(spark, target, cfg, lineage)
     build_term_variants(spark, target.term_stats, target.term_variants, cfg)
     stats = finalize_stats(spark, target, lineage)
+    if cfg.positions and cfg.serving_cache:
+        from bilies_go_spark.operators.index_build import build_pos_cache
+
+        # the new generation's artifact builds BESIDE the live one;
+        # readers see it only after the pointer flip below
+        build_pos_cache(spark, target, cfg, stats["n_docs"])
     publish_full_view(spark, target, lineage, stats)
 
 

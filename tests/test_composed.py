@@ -234,3 +234,100 @@ def test_composed_error_surface(spark, small_corpus, pos_idx, tmp_path):
         pd.DataFrame({"query_id": [0], "text": ["water -the"], "k": [5]}),
     )
     _assert_same_topk(got, exp)
+
+
+FIELDED = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "role:user water the",             # positive metadata scope
+            '-role:user "the of"',             # negated scope + MUST phrase
+            "water -the",                      # NO field clause, mixed batch
+            "role:user role:assistant water",  # contradictory -> empty
+            # tool is NULL on most turns: null-safe negation keeps them
+            "role:assistant -tool:tool_15 water",
+            "tool:tool_15 the",                # sparse positive scope
+        ],
+        "k": [10, 10, 10, 10, 10, 10],
+    }
+)
+
+
+def _resolve_fields_pandas(meta_pdf: pd.DataFrame, s: dict) -> np.ndarray:
+    """Independent pandas resolution of a parsed spec's field clauses
+    (NaN == value is False, so ~(col == v) keeps missing-field docs —
+    the ES must_not semantics the engine must reproduce)."""
+    m = pd.Series(True, index=meta_pdf.index)
+    for fname, val in s["fields"]:
+        m &= meta_pdf[fname] == val
+    for fname, val in s["neg_fields"]:
+        m &= ~(meta_pdf[fname] == val)
+    return np.sort(meta_pdf.loc[m, "doc_id"].to_numpy(np.int64))
+
+
+def test_composed_field_scoped_matches_brute(spark, small_corpus, pos_idx):
+    """field:value / -field:value clauses scope each query to the docs
+    whose metadata matches, with GLOBAL scoring stats — per query,
+    inside one batch, on both serving paths."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    meta_pdf = small_corpus.select("doc_id", "role", "tool").toPandas()
+    fields_df = small_corpus.select("doc_id", "role", "tool")
+
+    exps = []
+    for r in FIELDED.itertuples(index=False):
+        s = QueryEngine._parse_composed_query(r.text)
+        al = (
+            _resolve_fields_pandas(meta_pdf, s)
+            if (s["fields"] or s["neg_fields"])
+            else None
+        )
+        one = pd.DataFrame(
+            {"query_id": [r.query_id], "text": [r.text], "k": [r.k]}
+        )
+        # _brute_composed parses the same text; its scorer ignores the
+        # field keys, so the resolved allowed-set IS the field filter
+        exps.append(_brute_composed(corpus_pdf, one, allowed=al))
+    exp = pd.concat([e for e in exps if len(e)], ignore_index=True)
+
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(FIELDED, fields_df=fields_df).toPandas()
+    _assert_same_topk(dist, exp)
+    loc = eng.topk_composed(FIELDED, fields_df=fields_df, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+
+    per_q = exp.groupby("query_id").size()
+    # scopes must be load-bearing: every non-contradictory query hits,
+    # the contradictory one is empty, and the scoped result differs
+    # from the unscoped one
+    assert per_q.get(0, 0) > 0 and per_q.get(1, 0) > 0 and per_q.get(2, 0) > 0
+    assert per_q.get(3, 0) == 0
+    assert per_q.get(4, 0) > 0 and per_q.get(5, 0) > 0
+    unscoped = _brute_composed(
+        corpus_pdf,
+        pd.DataFrame({"query_id": [0], "text": ["water the"], "k": [10]}),
+    )
+    assert set(unscoped["doc_id"]) != set(exp[exp["query_id"] == 0]["doc_id"])
+
+
+def test_composed_field_scope_intersects_allowed(spark, small_corpus, pos_idx):
+    """A tenant allowed-set AND a field scope both apply (intersection),
+    and a field-scoped batch without fields_df raises."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    meta_pdf = small_corpus.select("doc_id", "role", "tool").toPandas()
+    fields_df = small_corpus.select("doc_id", "role", "tool")
+    tenant = np.sort(corpus_pdf["doc_id"].to_numpy(np.int64)[::2])
+
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["role:user water the"], "k": [25]}
+    )
+    s = QueryEngine._parse_composed_query(q.loc[0, "text"])
+    al = np.intersect1d(_resolve_fields_pandas(meta_pdf, s), tenant)
+    exp = _brute_composed(corpus_pdf, q, allowed=al)
+    assert len(exp) > 0
+
+    eng = QueryEngine(spark, pos_idx)
+    got = eng.topk_composed(q, allowed=tenant, fields_df=fields_df).toPandas()
+    _assert_same_topk(got, exp)
+
+    with pytest.raises(ValueError, match="fields_df"):
+        eng.topk_composed(q)

@@ -1,14 +1,16 @@
-"""Pure unit tests for QueryEngine._parse_composed_query with
-HAND-WRITTEN expected specs (no Spark session).
+"""Pure unit tests for the composed-query parser.
 
-The composed-query engine, the pytest brute reference
-(test_composed.py) and the DuckDB oracle (driver_queries.py) all
-derive their clause sets from this ONE parser, so a parsing bug would
-corrupt all three identically and pass every downstream gate — these
-expectations are the independent check on the string->spec step
-(round-4 verdict, "What's wrong" #1).
+``QueryEngine._parse_composed_query`` is the single string->spec step
+shared by the engine kernel, the pytest brute reference
+(test_composed.py) and the DuckDB oracle (driver_queries.py): a parser
+bug would corrupt all three identically and pass every downstream
+gate.  These hand-written ``(text, expected_spec)`` pairs are the
+independent check on that shared step — no Spark session, no corpus,
+just string in / spec out.
+
+Mirrors the ES/Lucene query-string surface the reference's users get
+from Elasticsearch (/root/reference/README.md:8-11).
 """
-
 from __future__ import annotations
 
 import pytest
@@ -18,7 +20,16 @@ from bilies_go_spark.operators.query import QueryEngine
 parse = QueryEngine._parse_composed_query
 
 
-def spec(phrases=(), should=(), prefix=(), fuzzy=(), neg=(), neg_phrases=()):
+def spec(
+    phrases=(),
+    should=(),
+    prefix=(),
+    fuzzy=(),
+    neg=(),
+    neg_phrases=(),
+    fields=(),
+    neg_fields=(),
+):
     return {
         "phrases": [list(p) for p in phrases],
         "should": list(should),
@@ -26,70 +37,97 @@ def spec(phrases=(), should=(), prefix=(), fuzzy=(), neg=(), neg_phrases=()):
         "fuzzy": list(fuzzy),
         "neg": list(neg),
         "neg_phrases": [list(p) for p in neg_phrases],
+        "fields": [tuple(f) for f in fields],
+        "neg_fields": [tuple(f) for f in neg_fields],
     }
 
 
 CASES = [
-    # bare tokens -> SHOULD, analyzer-normalized
-    ("hello World", spec(should=["hello", "world"])),
-    # quoted phrase MUST + bare SHOULD
-    ('"foo bar" baz', spec(phrases=[["foo", "bar"]], should=["baz"])),
-    # negated multi-token phrase
-    ('-"foo bar"', spec(neg_phrases=[["foo", "bar"]])),
-    # negated phrase normalizing to ONE token folds into plain MUST_NOT
-    ('-"foo"', spec(neg=["foo"])),
-    # punctuation inside a negated phrase re-tokenizes to multi-token
-    ('-"Foo-Bar"', spec(neg_phrases=[["foo", "bar"]])),
-    # space between - and the quote still negates
-    ('- "foo bar"', spec(neg_phrases=[["foo", "bar"]])),
-    # -term MUST_NOT, term* prefix, term~ fuzzy
-    ("-stop go* fast~", spec(should=[], prefix=["go"], fuzzy=["fast"], neg=["stop"])),
-    # every clause type in one string, order preserved per kind
+    # bare tokens -> SHOULD, analyzer-normalized (lowercase, ascii)
+    ("water than", spec(should=["water", "than"])),
+    ("Water THAN", spec(should=["water", "than"])),
+    # quoted -> MUST phrase; normalization applies inside quotes
+    ('"The Quick" fox', spec(phrases=[["the", "quick"]], should=["fox"])),
+    # a single-token POSITIVE phrase stays a phrase (only negated ones fold)
+    ('"water"', spec(phrases=[["water"]])),
+    # negated phrase -> MUST_NOT phrase; whitespace after '-' allowed
+    ('-"a b" c', spec(should=["c"], neg_phrases=[["a", "b"]])),
+    ('- "a b" c', spec(should=["c"], neg_phrases=[["a", "b"]])),
+    # single-token negated phrase folds into the MUST_NOT term list
+    ('-"water" x', spec(should=["x"], neg=["water"])),
+    # negated term / prefix / fuzzy markers
+    ("-stop word", spec(should=["word"], neg=["stop"])),
+    ("wat* x", spec(should=["x"], prefix=["wat"])),
+    ("watr~ x", spec(should=["x"], fuzzy=["watr"])),
+    # adjacent quoted clauses both parse; order is appearance order
+    ('"a b""c d"', spec(phrases=[["a", "b"], ["c", "d"]])),
+    # punctuation inside a quoted phrase splits like the analyzer does
+    ('-"don\'t stop"', spec(neg_phrases=[["don", "t", "stop"]])),
+    # empty / all-punctuation quotes contribute nothing
+    ('"" x', spec(should=["x"])),
+    ('-"" x', spec(should=["x"])),
+    ('"!!!" x', spec(should=["x"])),
+    # '*'/'~' INSIDE quotes are analyzer-stripped, not clause markers
+    ('"run*" x', spec(phrases=[["run"]], should=["x"])),
+    # everything at once, neg-phrase extracted before the phrase pass
     (
-        'alpha -"b c" delta "e f" -g h* i~ "j k"',
+        '"the of" -"he was" -water to* numbr~ one',
         spec(
-            phrases=[["e", "f"], ["j", "k"]],
-            should=["alpha", "delta"],
-            prefix=["h"],
-            fuzzy=["i"],
-            neg=["g"],
-            neg_phrases=[["b", "c"]],
+            phrases=[["the", "of"]],
+            should=["one"],
+            prefix=["to"],
+            fuzzy=["numbr"],
+            neg=["water"],
+            neg_phrases=[["he", "was"]],
         ),
     ),
-    # a hyphen INSIDE quotes is not negation — it splits tokens
-    ('"a -b"', spec(phrases=[["a", "b"]])),
-    # but a hyphen glued BEFORE the quote negates, and the preceding
-    # token survives as SHOULD
-    ('x-"y z"', spec(should=["x"], neg_phrases=[["y", "z"]])),
-    # multiple negations of both kinds
+    # field-scoped clauses: values verbatim (NOT analyzed), negation
+    # splits into neg_fields; field name must look like an identifier
+    ("lang:en x", spec(should=["x"], fields=[("lang", "en")])),
+    ("-lang:zh x", spec(should=["x"], neg_fields=[("lang", "zh")])),
     (
-        'foo -"bar" -"baz qux" -quux',
-        spec(should=["foo"], neg=["bar", "quux"], neg_phrases=[["baz", "qux"]]),
+        "lang:en -source:src4 water",
+        spec(
+            should=["water"],
+            fields=[("lang", "en")],
+            neg_fields=[("source", "src4")],
+        ),
     ),
-    # empty quotes contribute nothing
-    ('"" foo', spec(should=["foo"])),
-    # uppercase + punctuation normalize everywhere
-    ('"Foo, Bar!" -Baz QUX*', spec(phrases=[["foo", "bar"]], neg=["baz"], prefix=["qux"])),
-    # a bare token with punctuation splits into multiple SHOULD terms
-    ("data-base", spec(should=["data", "base"])),
+    # value is verbatim: case/punctuation survive (compare-as-is)
+    ("source:Src-4 x", spec(should=["x"], fields=[("source", "Src-4")])),
+    # NOT a field clause: name can't start with a digit (times stay text)
+    ("12:30 x", spec(should=["12", "30", "x"])),
+    # NOT a field clause: uppercase name fails the identifier shape
+    ("Lang:en x", spec(should=["lang", "en", "x"])),
+    # inside quotes, ':' is analyzer punctuation, not a field marker
+    ('"lang:en" x', spec(phrases=[["lang", "en"]], should=["x"])),
+    # empty-ish inputs
+    ("", spec()),
+    ("   ", spec()),
 ]
 
 
-@pytest.mark.parametrize("text,expected", CASES, ids=[c[0] for c in CASES])
-def test_parse_composed_hand_written(text, expected):
+@pytest.mark.parametrize("text,expected", CASES, ids=[c[0] or "<empty>" for c in CASES])
+def test_parse_composed(text, expected):
     assert parse(text) == expected
 
 
-ERROR_CASES = [
-    "-foo-bar",  # negated piece tokenizes to two terms
-    "a.b*",  # prefix piece tokenizes to two terms
-    "c,d~",  # fuzzy piece tokenizes to two terms
-    '"a b"~',  # ~ applied to a quoted phrase: the orphan ~ is invalid
-    "-",  # bare minus: negated piece tokenizes to zero terms
-]
-
-
-@pytest.mark.parametrize("text", ERROR_CASES)
-def test_parse_composed_rejects_malformed(text):
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "-stop-me",  # negated piece analyzes to two terms
+        "ab-cd*",    # prefix piece analyzes to two terms
+        "a-b~",      # fuzzy piece analyzes to two terms
+        "x -",       # bare '-' -> empty negated piece
+        "x -!",      # negated punctuation -> empty after analysis
+    ],
+)
+def test_parse_composed_rejects(bad):
     with pytest.raises(ValueError):
-        parse(text)
+        parse(bad)
+
+
+def test_should_keeps_duplicates_and_appearance_order():
+    # the parser does NOT dedup SHOULD terms — topk_composed does
+    # (set-fold) — so the parse must preserve what was written
+    assert parse("b a b").get("should") == ["b", "a", "b"]

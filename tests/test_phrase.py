@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from bilies_go_spark import B_DEFAULT, K1_DEFAULT
 from bilies_go_spark.functions.tokenize import tokenize_py
 from bilies_go_spark.operators.codec import (
@@ -145,7 +147,14 @@ def _brute_proximity_topk(corpus, queries, k1=K1_DEFAULT, b=B_DEFAULT):
 def pos_index_dir(spark, small_corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("pindex"))
     cfg = BuildConfig(
-        n_buckets=8, block_size=32, target_postings_per_salt=200, positions=True
+        n_buckets=8,
+        block_size=32,
+        target_postings_per_salt=200,
+        positions=True,
+        # low df floor so the build-time positional artifact covers the
+        # test vocabulary — every local-path test then exercises the
+        # artifact load (equality with distributed is pinned throughout)
+        serving_cache_min_df=5,
     )
     build_index(spark, small_corpus, d, cfg)
     return d
@@ -416,9 +425,9 @@ def test_fuzzy_dictionary_requires_variants_for_every_vocab_root(
     calls = []
     real_scan = eng._expand_fuzzy_scan
 
-    def spy(toks):
+    def spy(toks, auto=False):
         calls.append(list(toks))
-        return real_scan(toks)
+        return real_scan(toks, auto=auto)
 
     monkeypatch.setattr(eng, "_expand_fuzzy_scan", spy)
     got = eng.expand_fuzzy(["watr", "thre"])
@@ -540,6 +549,22 @@ def test_highlight_windows_match_brute(spark, small_corpus, pos_index_dir):
     )
     assert (exp.groupby("query_id").size().get(0, 0) or 0) > 0
     assert (exp.groupby("query_id").size().get(3, 0) or 0) == 0
+    # char offsets index the ORIGINAL text: the fragment is exactly the
+    # raw slice under the window, and re-offsetting with the reference
+    # token_offsets_py reproduces (char_start, char_end) for every hit
+    from bilies_go_spark.functions.tokenize import token_offsets_py
+
+    text_by_id = dict(
+        zip(corpus_pdf["doc_id"].astype(int), corpus_pdf["text"])
+    )
+    for r in got.itertuples(index=False):
+        t = text_by_id[int(r.doc_id)]
+        spans = token_offsets_py(t)
+        assert int(r.char_start) == spans[int(r.win_start)][0]
+        assert int(r.char_end) == spans[int(r.win_end)][1]
+        assert r.fragment == t[int(r.char_start) : int(r.char_end)]
+        # analyzed fragment tokens == the snippet's tokens
+        assert tokenize_py(r.fragment) == r.snippet.split(" ")
     # windows-only surface (no docs_df): same rows, no snippet column
     wins = eng.search_highlight(queries).toPandas()
     assert "snippet" not in wins.columns and len(wins) >= len(exp)
@@ -616,6 +641,111 @@ def test_heavy_local_queries_route_to_sharded_plan(spark, pos_index_dir):
             base.sort_values(key).reset_index(drop=True),
         )
     assert len(got_ph) and len(got_px)
+
+
+def test_pos_artifact_built_and_equals_decode_fill(
+    spark, pos_index_dir, monkeypatch
+):
+    """build_pos_cache persists each hot term's (ids, tfs, dls, sorted
+    keys) arrays at build time; the serving path loads them O(read)
+    and must answer exactly like the legacy decode+sort fill
+    (BGS_POS_ARTIFACT=0)."""
+    import json
+    import os
+
+    from bilies_go_spark.operators.index_build import IndexPaths
+
+    root = IndexPaths(pos_index_dir).pos_cache
+    tdirs = [n for n in os.listdir(root) if n.startswith("t_")]
+    assert tdirs, "positional build must materialize the serving artifact"
+    with open(os.path.join(root, tdirs[0], "meta.json")) as f:
+        assert "term" in json.load(f)
+
+    key = ["query_id", "rank"]
+    eng = QueryEngine(spark, pos_index_dir)
+    assert eng._pos_artifact
+    hits = []
+    real = eng._pos_artifact_entry
+    eng._pos_artifact_entry = lambda t, r: hits.append(t) or real(t, r)
+    art_ph = eng.topk_phrase(PHRASES, mode="local", n_shards=1).toPandas()
+    art_px = eng.topk_proximity(PROX, mode="local", n_shards=1).toPandas()
+    assert hits, "the serving fill must consult the artifact"
+    # the common terms genuinely load from the artifact (not a miss)
+    assert real("the", eng._seg_rows(["the"])) is not None
+
+    monkeypatch.setenv("BGS_POS_ARTIFACT", "0")
+    dec = QueryEngine(spark, pos_index_dir)
+    assert not dec._pos_artifact
+    dec_ph = dec.topk_phrase(PHRASES, mode="local", n_shards=1).toPandas()
+    dec_px = dec.topk_proximity(PROX, mode="local", n_shards=1).toPandas()
+    for a, b in ((art_ph, dec_ph), (art_px, dec_px)):
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+    assert len(art_ph) and len(art_px)
+
+
+def test_pos_artifact_respects_tombstones_and_tiers(
+    spark, small_corpus, tmp_path_factory, monkeypatch
+):
+    """The persisted arrays are a pure function of the BASE segments:
+    the loader must mask tombstones and merge live tier runs at read
+    time.  Delete some phrase matches, fold a second corpus half as a
+    delta tier, and pin artifact == decode on every positional local
+    surface."""
+    from bilies_go_spark.operators.deletes import delete_docs
+    from bilies_go_spark.operators.index_build import IndexPaths
+    from bilies_go_spark.streaming.ingest import compact_tiered, ingest_batch
+    from bilies_go_spark.plans.lineage import Lineage
+
+    cfg = BuildConfig(
+        n_buckets=8,
+        block_size=32,
+        target_postings_per_salt=200,
+        positions=True,
+        serving_cache_min_df=5,
+    )
+    d = str(tmp_path_factory.mktemp("pindex_dt"))
+    half1 = small_corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = small_corpus.filter(F.col("doc_id") % 2 == 1)
+    build_index(spark, half1, d, cfg)
+    paths = IndexPaths(d)
+    # tier: fold the odd half as a delta (base artifact is now partial)
+    ingest_batch(spark, half2, 1, paths, cfg, Lineage(d))
+    assert compact_tiered(spark, d, cfg) is not None
+    # tombstones: kill a few docs that match "the of"/"you that he"
+    eng0 = QueryEngine(spark, d)
+    victims = (
+        eng0.topk_phrase(PHRASES.head(1), mode="local", n_shards=1)
+        .toPandas()["doc_id"].head(3).tolist()
+    )
+    assert victims
+    delete_docs(spark, d, victims)
+
+    key = ["query_id", "rank"]
+    art = QueryEngine(spark, d)
+    assert art._pos_artifact and art.tiers and art.deleted is not None
+    got = {
+        "ph": art.topk_phrase(PHRASES, mode="local", n_shards=1).toPandas(),
+        "px": art.topk_proximity(PROX, mode="local", n_shards=1).toPandas(),
+    }
+    assert not set(victims) & set(got["ph"]["doc_id"])
+    monkeypatch.setenv("BGS_POS_ARTIFACT", "0")
+    dec = QueryEngine(spark, d)
+    exp = {
+        "ph": dec.topk_phrase(PHRASES, mode="local", n_shards=1).toPandas(),
+        "px": dec.topk_proximity(PROX, mode="local", n_shards=1).toPandas(),
+    }
+    for k in got:
+        pd.testing.assert_frame_equal(
+            got[k].sort_values(key).reset_index(drop=True),
+            exp[k].sort_values(key).reset_index(drop=True),
+            obj=k,
+        )
+    # tier docs (odd ids) genuinely appear through the artifact path
+    assert (got["ph"]["doc_id"] % 2 == 1).any()
+    assert len(got["ph"]) and len(got["px"])
 
 
 def test_boolean_negation_matches_brute(spark, small_corpus, pos_index_dir):
