@@ -1176,12 +1176,25 @@ def bm25_composed_oracle_sql(
     for qid, text, k in queries if queries is not None else COMPOSED_QUERIES:
         s = QueryEngine._parse_composed_query(text)
         negset = set(s["neg"])
+        cb = s.get("boosts", {})
+
+        def _sql_boost(*keys):
+            # max EXPLICIT clause boost reaching the row, NULL when none
+            # (qe coalesces to 1.0 AFTER the per-term max, so an
+            # unboosted clause never masks an explicit de-boost < 1 —
+            # exactly the engine's tboost semantics)
+            vals = [cb[k_] for k_ in keys if k_ in cb]
+            return repr(max(vals)) if vals else "CAST(NULL AS DOUBLE)"
+
         for t in sorted((set(s["should"]) | {t for p in s["phrases"] for t in p}) - negset):
-            like_rows.append(f"({qid}, '{t}', {k})")
+            bkeys = ([t] if t in s["should"] else []) + [
+                " ".join(p) for p in s["phrases"] if t in p
+            ]
+            like_rows.append(f"({qid}, '{t}', {k}, {_sql_boost(*bkeys)})")
         for t in sorted(set(s["prefix"]) - negset):
-            like_rows.append(f"({qid}, '{t}%', {k})")
+            like_rows.append(f"({qid}, '{t}%', {k}, {_sql_boost(t + '*')})")
         for t in sorted(set(s["fuzzy"])):
-            fuzzy_rows.append(f"({qid}, '{t}', {k})")
+            fuzzy_rows.append(f"({qid}, '{t}', {k}, {_sql_boost(t + '~')})")
         for t in sorted(negset):
             neg_rows.append(f"({qid}, '{t}')")
         for p in s["phrases"]:
@@ -1200,7 +1213,7 @@ def bm25_composed_oracle_sql(
             f" WHERE {' AND '.join(preds) if preds else 'TRUE'}"
         )
     # empty VALUES lists are a syntax error: pad with a never-matching row
-    fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0)"]
+    fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0, CAST(NULL AS DOUBLE))"]
     ph_rows = ph_rows or ["(-1, 'zzzdummy')"]
     neg_rows = neg_rows or ["(-1, 'zzzdummy')"]
     nph_rows = nph_rows or ["(-1, 'zzzdummy')"]
@@ -1228,19 +1241,25 @@ tstr AS (
   FROM documents
 ),
 {allowed_cte},
-ql(query_id, patt, k) AS (VALUES {", ".join(like_rows)}),
-qf(query_id, tok, k) AS (VALUES {", ".join(fuzzy_rows)}),
+ql(query_id, patt, k, boost) AS (VALUES {", ".join(like_rows)}),
+qf(query_id, tok, k, boost) AS (VALUES {", ".join(fuzzy_rows)}),
 ph(query_id, phrase) AS (VALUES {", ".join(ph_rows)}),
 nq(query_id, term) AS (VALUES {", ".join(neg_rows)}),
 nph(query_id, phrase) AS (VALUES {", ".join(nph_rows)}),
 qn(query_id, n_phrases) AS (VALUES {", ".join(qn_rows)}),
 qe AS (
-  SELECT DISTINCT query_id, term, k FROM (
-    SELECT q.query_id, ts.term, q.k FROM ql q JOIN ts ON ts.term LIKE q.patt
+  -- boost: per-term max of EXPLICIT clause boosts (NULL = unboosted
+  -- row), coalesced to 1.0 only after the max — an unboosted clause
+  -- never masks an explicit de-boost < 1
+  SELECT query_id, term, max(k) AS k, coalesce(max(boost), 1.0) AS boost
+  FROM (
+    SELECT q.query_id, ts.term, q.k, q.boost
+    FROM ql q JOIN ts ON ts.term LIKE q.patt
     UNION ALL
-    SELECT q.query_id, ts.term, q.k
+    SELECT q.query_id, ts.term, q.k, q.boost
     FROM qf q JOIN ts ON levenshtein(q.tok, ts.term) <= 1
   ) u
+  GROUP BY 1, 2
 ),
 pm AS (
   SELECT ph.query_id, d.doc_id
@@ -1253,7 +1272,8 @@ pm AS (
 sc AS (
   SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
          sum(
-           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           qe.boost
+           * ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
            * (p.tf * ({k1} + 1.0))
            / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
          ) AS score
@@ -1287,6 +1307,58 @@ r AS (
 )
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
+
+
+# --- boosted composed search --------------------------------------------------
+# ES query-string boosts: clause^B scales that clause's scoring
+# contribution (term, phrase, prefix, fuzzy); a term reached by several
+# boosted clauses takes the max explicit boost, default 1.0.  The
+# engine folds the boost into the per-term idf (so block-max pruning
+# upper bounds stay rank-safe for free); the oracle multiplies the
+# same factor into the BM25 sum via a per-(query, term) boost column.
+
+BOOSTED_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table^2 scan", 10),         # term boost
+    (1, "table scan", 10),           # control: same terms, unboosted
+    (2, '"hash join"^3 table', 10),  # phrase boost
+    (3, "tab*^2 scan", 10),          # prefix boost rides the expansion
+    (4, "tble~^2.5 value", 10),      # fuzzy boost rides the expansion
+    (5, "table^0.25 scan", 10),      # de-boost < 1
+    (6, "table^2 -dup scan*", 10),   # boost + negation + unboosted prefix
+    (7, "value value^0.5", 10),      # explicit de-boost wins over the
+                                     # unboosted duplicate clause
+]
+
+
+def boosted_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in BOOSTED_QUERIES],
+            "text": [q[1] for q in BOOSTED_QUERIES],
+            "k": [q[2] for q in BOOSTED_QUERIES],
+        }
+    )
+
+
+def bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted composed search under the tenant filter — must match
+    the boost-weighted composed oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_composed(boosted_queries_pdf(), allowed=_allowed_ids(sf_dir))
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            boosted_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_boosted_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    return bm25_composed_oracle_sql(k1, b, queries=BOOSTED_QUERIES)
 
 
 # --- field-scoped composed search ---------------------------------------------
@@ -2112,6 +2184,9 @@ def registry() -> dict[str, tuple]:
         # surface; engine resolves each distinct clause set once per
         # batch, oracle carries a per-query allowed CTE
         "bm25_topk_fielded": (bm25_fielded, bm25_fielded_oracle_sql()),
+        # clause^B boosts (term/phrase/prefix/fuzzy) folded into the
+        # per-term idf engine-side, multiplied into the SQL BM25 sum
+        "bm25_topk_boosted": (bm25_boosted, bm25_boosted_oracle_sql()),
         # ES/Lucene highlighter: conjunctive top-k + minimal covering
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions

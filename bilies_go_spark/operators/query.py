@@ -194,6 +194,8 @@ def _slice_segments_by_shard_pos(
             return v
         if isinstance(v, (list, tuple, np.ndarray)):
             return [int(x) for x in v]
+        if isinstance(v, (float, np.floating)):
+            return float(v)  # fractional boosts must survive the slice
         return int(v)
 
     out = []
@@ -342,8 +344,9 @@ def _composed_shard(
     per_term, quads, neg, vonly = {}, {}, set(), set()
     for term, rows in pdf.groupby("term", sort=True):
         dfreq = int(rows["df"].iloc[0])
+        bst = float(rows["boost"].iloc[0]) if "boost" in rows.columns else 1.0
         per_term[term] = {
-            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "idf": bst * float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
         }
         nval = int(rows["neg"].iloc[0])
@@ -862,6 +865,8 @@ def score_query_kernel(
         rows = pdf[pdf["term"] == term]
         dfreq = int(rows["df"].iloc[0])
         idf = float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+        if "boost" in rows.columns:  # composed clause boost rides idf
+            idf *= float(rows["boost"].iloc[0])
         runs = [row_to_segment(r) for _, r in rows.iterrows()]
         ubs = [
             idf
@@ -1763,8 +1768,12 @@ def composed_query_kernel(
     # filtering quadratic in the term count)
     for term, rows in pdf.groupby("term", sort=False):
         dfreq = int(rows["df"].iloc[0])
+        # clause boost scales the whole per-term contribution; folding
+        # it into idf keeps every downstream consumer (block-max upper
+        # bounds, accumulate) rank-safe for free
+        bst = float(rows["boost"].iloc[0]) if "boost" in rows.columns else 1.0
         per_term[term] = {
-            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "idf": bst * float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
             "runs": [row_to_segment(r) for _, r in rows.iterrows()],
         }
@@ -3098,9 +3107,15 @@ class QueryEngine:
                 if tomb is not None or allow is not None
                 else None
             )
+            boost_map = (
+                dict(zip(qrows["term"], qrows["boost"]))
+                if "boost" in qrows.columns
+                else {}
+            )
             per_term = {
                 t: {
-                    "idf": float(
+                    "idf": float(boost_map.get(t, 1.0))
+                    * float(
                         np.log1p((self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
                     )
                 }
@@ -3156,7 +3171,7 @@ class QueryEngine:
                     continue
                 extras[c] = (
                     pdf["term"].map(per_term[c]).to_numpy()
-                    if c in ("slots", "neg")
+                    if c in ("slots", "neg", "boost")
                     else qrows[c].iloc[0]
                 )
             pdf = pdf.assign(query_id=int(qid), **extras)
@@ -3998,8 +4013,9 @@ class QueryEngine:
 
     # -- composed (bool) queries -----------------------------------------------
 
-    _PHRASE_RE = re.compile(r'"([^"]*)"')
-    _NEG_PHRASE_RE = re.compile(r'-\s*"([^"]*)"')
+    _PHRASE_RE = re.compile(r'"([^"]*)"(\^\d+(?:\.\d+)?)?')
+    _NEG_PHRASE_RE = re.compile(r'-\s*"([^"]*)"(\^\d+(?:\.\d+)?)?')
+    _BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
     # field-scoped clause: role:assistant / -lang:zh.  The field name
     # must look like an identifier, so times ("12:30") and URLs stay
     # ordinary analyzed text.
@@ -4019,9 +4035,15 @@ class QueryEngine:
           against the doc-metadata column (see ``topk_composed``'s
           ``fields_df``)
         * bare tokens          -> SHOULD terms (scoring)
+        * ``clause^B``         -> boost: scales the clause's scoring
+          contribution by ``B`` (``tok^2``, ``"a b"^1.5``, ``to*^3``,
+          ``tok~^2``); a term reached by several boosted clauses takes
+          the max.  Boosts on scoreless clauses (``-tok``, fields) are
+          stripped and ignored, like ES.
 
         Returns ``{"phrases", "should", "prefix", "fuzzy", "neg",
-        "neg_phrases", "fields", "neg_fields"}`` of analyzer-normalized
+        "neg_phrases", "fields", "neg_fields", "boosts"}`` of
+        analyzer-normalized
         tokens (field names/values verbatim).  A negated phrase that
         normalizes to a single token folds into ``neg`` (identical
         semantics, no positional work)."""
@@ -4032,8 +4054,13 @@ class QueryEngine:
         neg: list[str] = []
         fields: list[tuple[str, str]] = []
         neg_fields: list[tuple[str, str]] = []
+        boosts: dict[str, float] = {}
+
+        def _put_boost(key: str, val: float):
+            boosts[key] = max(boosts.get(key, 0.0), val)
 
         def _grab_neg(m):
+            # boost on a MUST_NOT clause is scoreless in ES too: strip+ignore
             toks = tokenize_py(m.group(1))
             if len(toks) == 1:
                 neg.append(toks[0])
@@ -4047,6 +4074,8 @@ class QueryEngine:
             toks = tokenize_py(m.group(1))
             if toks:
                 phrases.append(toks)
+                if m.group(2):
+                    _put_boost(" ".join(toks), float(m.group(2)[1:]))
             return " "
 
         rest = QueryEngine._PHRASE_RE.sub(_grab, rest)
@@ -4054,8 +4083,15 @@ class QueryEngine:
         prefix: list[str] = []
         fuzzy: list[str] = []
         for piece in rest.split():
+            boost = None
+            bm = QueryEngine._BOOST_RE.match(piece)
+            if bm:
+                piece, boost = bm.group(1), float(bm.group(2))
+                if boost <= 0.0:
+                    raise ValueError(f"boost must be positive: {piece!r}^{boost}")
             fm = QueryEngine._FIELD_RE.match(piece)
             if fm:
+                # boost on a filter clause is scoreless: strip+ignore
                 pair = (fm.group(2), fm.group(3))
                 (neg_fields if fm.group(1) else fields).append(pair)
             elif piece.startswith("-"):
@@ -4068,13 +4104,21 @@ class QueryEngine:
                 if len(toks) != 1:
                     raise ValueError(f"prefix piece {piece!r} is not a single term")
                 prefix.append(toks[0])
+                if boost is not None:
+                    _put_boost(toks[0] + "*", boost)
             elif piece.endswith("~"):
                 toks = tokenize_py(piece[:-1])
                 if len(toks) != 1:
                     raise ValueError(f"fuzzy piece {piece!r} is not a single term")
                 fuzzy.append(toks[0])
+                if boost is not None:
+                    _put_boost(toks[0] + "~", boost)
             else:
-                should.extend(tokenize_py(piece))
+                btoks = tokenize_py(piece)
+                should.extend(btoks)
+                if boost is not None:
+                    for t in btoks:
+                        _put_boost(t, boost)
         return {
             "phrases": phrases,
             "should": should,
@@ -4084,6 +4128,7 @@ class QueryEngine:
             "neg_phrases": neg_phrases,
             "fields": fields,
             "neg_fields": neg_fields,
+            "boosts": boosts,
         }
 
     def _resolve_field_filter(
@@ -4195,10 +4240,30 @@ class QueryEngine:
             negs = sorted(set(s["neg"]))
             negp = [list(p) for p in s["neg_phrases"]]
             should = set(s["should"])
+            clause_boosts = s.get("boosts", {})
+            # per-term boost = max over the clauses that reach the term
+            # (bare term / prefix expansion / fuzzy expansion / phrase
+            # membership), 1.0 when unboosted
+            tboost: dict[str, float] = {}
+
+            def _tb(t: str, v: float | None):
+                if v is not None:
+                    tboost[t] = max(tboost.get(t, 0.0), v)
+
+            for t in s["should"]:
+                _tb(t, clause_boosts.get(t))
             for p in s["prefix"]:
                 should.update(pre_exp.get(p, []))
+                for t in pre_exp.get(p, []):
+                    _tb(t, clause_boosts.get(p + "*"))
             for f_ in s["fuzzy"]:
                 should.update(fuz_exp.get(f_, []))
+                for t in fuz_exp.get(f_, []):
+                    _tb(t, clause_boosts.get(f_ + "~"))
+            for p in s["phrases"]:
+                pb = clause_boosts.get(" ".join(p))
+                for t in p:
+                    _tb(t, pb)
             should -= set(negs)  # a term both scored and negated: negation wins
             # qspec carries ONLY the phrases: SHOULD expansions can run
             # to thousands of terms, and a per-row JSON copy of them
@@ -4223,7 +4288,8 @@ class QueryEngine:
                     if t in vterms and t not in should and t not in pos_terms
                     else 0
                 )
-                rows.append((int(r.query_id), t, int(r.k), role, spec))
+                bst = tboost.get(t, 1.0) if role == 0 else 1.0
+                rows.append((int(r.query_id), t, int(r.k), role, spec, float(bst)))
         if any_phrase and not self.meta.get("positions", False):
             raise ValueError(
                 "composed queries with phrase clauses need an index built "
@@ -4231,7 +4297,9 @@ class QueryEngine:
             )
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
-        qt_pdf = pd.DataFrame(rows, columns=["query_id", "term", "k", "neg", "qspec"])
+        qt_pdf = pd.DataFrame(
+            rows, columns=["query_id", "term", "k", "neg", "qspec", "boost"]
+        )
         flt = self._doc_filter(
             None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
         )
@@ -4259,7 +4327,8 @@ class QueryEngine:
                 return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
             return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
         qt = self.spark.createDataFrame(
-            qt_pdf, schema="query_id bigint, term string, k int, neg int, qspec string"
+            qt_pdf,
+            schema="query_id bigint, term string, k int, neg int, qspec string, boost double",
         )
         from bilies_go_spark.functions.xxhash import term_bucket_py
 
@@ -4301,7 +4370,8 @@ class QueryEngine:
                 "BuildConfig(positions=True)"
             )
         qt = self.spark.createDataFrame(
-            qt_pdf, schema="query_id bigint, term string, k int, neg int, qspec string"
+            qt_pdf,
+            schema="query_id bigint, term string, k int, neg int, qspec string, boost double",
         )
         from bilies_go_spark.functions.xxhash import term_bucket_py
 
@@ -4313,7 +4383,7 @@ class QueryEngine:
         bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
         bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
         slice_schema = (
-            "query_id bigint, k int, neg int, qspec string, "
+            "query_id bigint, k int, neg int, qspec string, boost double, "
             "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
             + ", positions_vb binary"
         )
@@ -4321,7 +4391,7 @@ class QueryEngine:
         def slicer(batches):
             for pdf in batches:
                 out = _slice_segments_by_shard_pos(
-                    pdf, bounds, extra_cols=("neg", "qspec")
+                    pdf, bounds, extra_cols=("neg", "qspec", "boost")
                 )
                 if out is not None:
                     yield out

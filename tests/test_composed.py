@@ -61,10 +61,28 @@ def _brute_composed(
         s = QueryEngine._parse_composed_query(q.text)
         negs = set(s["neg"])
         should = set(s["should"])
+        cb = s.get("boosts", {})
+        tb: dict[str, float] = {}  # per-term max EXPLICIT clause boost
+
+        def _tb(t, v):
+            if v is not None:
+                tb[t] = max(tb.get(t, 0.0), v)
+
+        for t in s["should"]:
+            _tb(t, cb.get(t))
         for p_ in s["prefix"]:
-            should |= {v for v in vocab if v.startswith(p_)}
+            exp = {v for v in vocab if v.startswith(p_)}
+            should |= exp
+            for t in exp:
+                _tb(t, cb.get(p_ + "*"))
         for f_ in s["fuzzy"]:
-            should |= {v for v in vocab if _lev_le1(f_, v)}
+            exp = {v for v in vocab if _lev_le1(f_, v)}
+            should |= exp
+            for t in exp:
+                _tb(t, cb.get(f_ + "~"))
+        for p in s["phrases"]:
+            for t in p:
+                _tb(t, cb.get(" ".join(p)))
         sterms = sorted((should | {t for p in s["phrases"] for t in p}) - negs)
         scored = []
         for d, t in toks.items():
@@ -87,7 +105,9 @@ def _brute_composed(
                 tf = t.count(term)
                 if tf == 0 or term not in df:
                     continue
-                idf = np.log1p((n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                idf = tb.get(term, 1.0) * np.log1p(
+                    (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+                )
                 score += idf * (tf * (k1 + 1.0)) / (
                     tf + k1 * (1.0 - b + b * (len(t) / avgdl))
                 )
@@ -331,3 +351,48 @@ def test_composed_field_scope_intersects_allowed(spark, small_corpus, pos_idx):
 
     with pytest.raises(ValueError, match="fields_df"):
         eng.topk_composed(q)
+
+
+BOOSTED = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "water^2 the",          # term boost reorders vs plain OR
+            "water the",            # control: same terms, unboosted
+            '"the of"^3 water',     # phrase boost scales its terms
+            "wa*^2 the",            # prefix boost rides every expansion
+            "watr~^2.5 the",        # fuzzy boost rides every expansion
+            "water water^0.5 the",  # explicit de-boost beats the
+                                    # unboosted duplicate clause
+        ],
+        "k": [10, 10, 10, 10, 10, 10],
+    }
+)
+
+
+def test_composed_boosts_match_brute(spark, small_corpus, pos_idx):
+    """clause^B boosts (term/phrase/prefix/fuzzy) scale each reached
+    term's contribution by the max explicit boost — identical to the
+    brute reference on the distributed, local, and sharded paths, and
+    actually load-bearing (boosted ranking differs from unboosted)."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_composed(corpus_pdf, BOOSTED)
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(BOOSTED).toPandas()
+    _assert_same_topk(dist, exp)
+    loc = eng.topk_composed(BOOSTED, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+    shard = eng.topk_composed(BOOSTED, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(KEY).reset_index(drop=True),
+        dist.sort_values(KEY).reset_index(drop=True),
+    )
+    per_q = exp.groupby("query_id").size()
+    assert all(per_q.get(i, 0) > 0 for i in range(6))
+    # the boost must CHANGE the ranking somewhere vs the control
+    b0 = exp[exp["query_id"] == 0][["doc_id", "score"]].reset_index(drop=True)
+    b1 = exp[exp["query_id"] == 1][["doc_id", "score"]].reset_index(drop=True)
+    assert not b0.equals(b1)
+    # and the de-boost query must differ from the plain one too
+    b5 = exp[exp["query_id"] == 5][["doc_id", "score"]].reset_index(drop=True)
+    assert not b5.equals(b1)

@@ -29,6 +29,7 @@ def spec(
     neg_phrases=(),
     fields=(),
     neg_fields=(),
+    boosts=(),
 ):
     return {
         "phrases": [list(p) for p in phrases],
@@ -39,6 +40,7 @@ def spec(
         "neg_phrases": [list(p) for p in neg_phrases],
         "fields": [tuple(f) for f in fields],
         "neg_fields": [tuple(f) for f in neg_fields],
+        "boosts": dict(boosts),
     }
 
 
@@ -101,6 +103,27 @@ CASES = [
     ("Lang:en x", spec(should=["lang", "en", "x"])),
     # inside quotes, ':' is analyzer punctuation, not a field marker
     ('"lang:en" x', spec(phrases=[["lang", "en"]], should=["x"])),
+    # clause boosts: term / phrase / prefix / fuzzy, keyed by clause
+    ("water^2 x", spec(should=["water", "x"], boosts={"water": 2.0})),
+    ("water^2.5 x", spec(should=["water", "x"], boosts={"water": 2.5})),
+    (
+        '"the quick"^3 x',
+        spec(phrases=[["the", "quick"]], should=["x"], boosts={"the quick": 3.0}),
+    ),
+    ("wat*^2 x", spec(should=["x"], prefix=["wat"], boosts={"wat*": 2.0})),
+    ("watr~^2 x", spec(should=["x"], fuzzy=["watr"], boosts={"watr~": 2.0})),
+    # same clause boosted twice -> max; de-boost < 1 survives an
+    # unboosted duplicate (explicit-only max)
+    ("water^2 water^3", spec(should=["water", "water"], boosts={"water": 3.0})),
+    ("water water^0.5", spec(should=["water", "water"], boosts={"water": 0.5})),
+    # boost on scoreless clauses is stripped and ignored
+    ("-water^2 x", spec(should=["x"], neg=["water"])),
+    ('-"a b"^2 x', spec(should=["x"], neg_phrases=[["a", "b"]])),
+    ("lang:en^2 x", spec(should=["x"], fields=[("lang", "en")])),
+    # a multi-token bare piece boosts each resulting token
+    ("don't^2 x", spec(should=["don", "t", "x"], boosts={"don": 2.0, "t": 2.0})),
+    # '^' with no number is not a boost: analyzer strips it
+    ("water^ x", spec(should=["water", "x"])),
     # empty-ish inputs
     ("", spec()),
     ("   ", spec()),
