@@ -1559,6 +1559,7 @@ def search_highlight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_start",
             "char_end",
             "fragment",
+            "fragment_em",
         )
     )
 
@@ -1645,6 +1646,30 @@ tkoff AS (
            regexp_split_to_array(lower(text), '[a-z0-9]+') AS seps
     FROM documents
   ) dd, unnest(generate_series(1, len(tkm))) AS g(i)
+),
+frag AS (
+  -- ES <em>-tagged fragment: window tokens in original casing, raw
+  -- separators preserved, query-term tokens wrapped; built token by
+  -- token from the same cumulative char offsets
+  SELECT bw.query_id, bw.doc_id,
+         string_agg(
+           CASE WHEN o.pos = bw.s THEN ''
+                ELSE substr(dt.text, CAST(op.cend + 1 AS INT),
+                            CAST(o.cstart - op.cend AS INT)) END
+           || CASE WHEN qm.term IS NOT NULL
+                THEN '<em>' || substr(dt.text, CAST(o.cstart + 1 AS INT),
+                                      CAST(o.cend - o.cstart AS INT)) || '</em>'
+                ELSE substr(dt.text, CAST(o.cstart + 1 AS INT),
+                            CAST(o.cend - o.cstart AS INT)) END,
+           '' ORDER BY o.pos) AS fragment_em
+  FROM best bw
+  JOIN tkd d ON d.doc_id = bw.doc_id
+  JOIN documents dt ON dt.doc_id = bw.doc_id
+  JOIN tkoff o ON o.doc_id = bw.doc_id AND o.pos BETWEEN bw.s AND bw.e
+  LEFT JOIN tkoff op ON op.doc_id = bw.doc_id AND op.pos = o.pos - 1
+  LEFT JOIN qt qm ON qm.query_id = bw.query_id AND qm.term = d.tk[o.pos + 1]
+  WHERE bw.wr = 1
+  GROUP BY 1, 2
 )
 SELECT r.query_id, r.rank, r.doc_id, r.score,
        CAST(bw.s AS BIGINT) AS win_start, CAST(bw.e AS BIGINT) AS win_end,
@@ -1652,13 +1677,15 @@ SELECT r.query_id, r.rank, r.doc_id, r.score,
        CAST(o1.cstart AS BIGINT) AS char_start,
        CAST(o2.cend AS BIGINT) AS char_end,
        substr(dt.text, CAST(o1.cstart + 1 AS INT),
-              CAST(o2.cend - o1.cstart AS INT)) AS fragment
+              CAST(o2.cend - o1.cstart AS INT)) AS fragment,
+       f.fragment_em AS fragment_em
 FROM r
 JOIN best bw ON bw.query_id = r.query_id AND bw.doc_id = r.doc_id AND bw.wr = 1
 JOIN tkd d ON d.doc_id = r.doc_id
 JOIN tkoff o1 ON o1.doc_id = r.doc_id AND o1.pos = bw.s
 JOIN tkoff o2 ON o2.doc_id = r.doc_id AND o2.pos = bw.e
 JOIN documents dt ON dt.doc_id = r.doc_id
+JOIN frag f ON f.query_id = r.query_id AND f.doc_id = r.doc_id
 WHERE r.rank <= r.k
 """
 

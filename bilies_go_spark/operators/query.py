@@ -1505,6 +1505,7 @@ _WIN_OFF_TYPE = _T.StructType(
     [
         _T.StructField("char_start", _T.LongType()),
         _T.StructField("char_end", _T.LongType()),
+        _T.StructField("fragment_em", _T.StringType()),
     ]
 )
 
@@ -1513,13 +1514,15 @@ _WIN_OFF_TYPE = _T.StructType(
 # decoration time needs an active SparkSession, which import must not
 @F.pandas_udf(_WIN_OFF_TYPE)
 def _win_char_offsets(
-    text: pd.Series, win_start: pd.Series, win_end: pd.Series
+    text: pd.Series, win_start: pd.Series, win_end: pd.Series, terms: pd.Series
 ) -> pd.DataFrame:
     """Token window -> char span in the ORIGINAL text (0-based,
-    end-exclusive), Arrow-batched.  Runs only on the broadcast-joined
-    top-k rows (k·|queries| per batch), never the full docs scan —
-    token spans are ``[a-z0-9]+`` match offsets on the lowercased text
-    (length-preserving), the same arithmetic as
+    end-exclusive) plus the ES-style ``<em>``-tagged fragment (every
+    window token whose analyzed form is a query term wrapped, raw
+    separators preserved), Arrow-batched.  Runs only on the
+    broadcast-joined top-k rows (k·|queries| per batch), never the full
+    docs scan — token spans are ``[a-z0-9]+`` match offsets on the
+    lowercased text (length-preserving), the same arithmetic as
     :func:`bilies_go_spark.functions.tokenize.token_offsets_py` and the
     DuckDB oracle's cumulative-separator reconstruction."""
     import re
@@ -1527,13 +1530,31 @@ def _win_char_offsets(
     pat = re.compile("[a-z0-9]+")
     cs = np.empty(len(text), dtype=np.int64)
     ce = np.empty(len(text), dtype=np.int64)
+    frag = []
     ws = win_start.to_numpy(np.int64)
     we = win_end.to_numpy(np.int64)
     for i, t in enumerate(text):
-        spans = [(m.start(), m.end()) for m in pat.finditer((t or "").lower())]
-        cs[i] = spans[ws[i]][0] if ws[i] < len(spans) else 0
-        ce[i] = spans[we[i]][1] if we[i] < len(spans) else 0
-    return pd.DataFrame({"char_start": cs, "char_end": ce})
+        t = t or ""
+        low = t.lower()
+        spans = [(m.start(), m.end()) for m in pat.finditer(low)]
+        if ws[i] >= len(spans) or we[i] >= len(spans):
+            cs[i], ce[i] = 0, 0
+            frag.append("")
+            continue
+        cs[i] = spans[ws[i]][0]
+        ce[i] = spans[we[i]][1]
+        tv = terms.iloc[i]  # arrives as np.ndarray via Arrow
+        tset = set() if tv is None else set(tv)
+        parts = []
+        prev = spans[ws[i]][0]
+        for j in range(ws[i], we[i] + 1):
+            a, z = spans[j]
+            parts.append(t[prev:a])  # raw separator ('' for the first)
+            tok = t[a:z]
+            parts.append(f"<em>{tok}</em>" if low[a:z] in tset else tok)
+            prev = z
+        frag.append("".join(parts))
+    return pd.DataFrame({"char_start": cs, "char_end": ce, "fragment_em": frag})
 
 
 def highlight_query_kernel(
@@ -3573,12 +3594,22 @@ class QueryEngine:
         toks = docs_df.select(
             "doc_id", "text", tokenize_col("text").alias("tk")
         )
+        # tiny (query_id -> analyzed term set) side for <em> tagging;
+        # broadcast like the top-k rows themselves
+        qterms = self.spark.createDataFrame(
+            [
+                (int(r.query_id), sorted(set(tokenize_py(r.text))))
+                for r in queries.itertuples(index=False)
+            ],
+            schema="query_id bigint, _qterms array<string>",
+        )
         return (
             F.broadcast(out)
             .join(toks, "doc_id")
+            .join(F.broadcast(qterms), "query_id")
             .withColumn(
                 "_off",
-                _win_char_offsets("text", "win_start", "win_end"),
+                _win_char_offsets("text", "win_start", "win_end", "_qterms"),
             )
             .select(
                 "query_id",
@@ -3605,6 +3636,9 @@ class QueryEngine:
                     "substring(text, _off.char_start + 1, "
                     "_off.char_end - _off.char_start)"
                 ).alias("fragment"),
+                # ES highlighter presentation: window tokens matching a
+                # query term wrapped in <em>..</em>, raw separators kept
+                F.col("_off.fragment_em").alias("fragment_em"),
             )
         )
 

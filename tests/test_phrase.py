@@ -557,6 +557,9 @@ def test_highlight_windows_match_brute(spark, small_corpus, pos_index_dir):
     text_by_id = dict(
         zip(corpus_pdf["doc_id"].astype(int), corpus_pdf["text"])
     )
+    import re as _re
+
+    qtext_by_id = dict(zip(queries["query_id"].astype(int), queries["text"]))
     for r in got.itertuples(index=False):
         t = text_by_id[int(r.doc_id)]
         spans = token_offsets_py(t)
@@ -565,6 +568,19 @@ def test_highlight_windows_match_brute(spark, small_corpus, pos_index_dir):
         assert r.fragment == t[int(r.char_start) : int(r.char_end)]
         # analyzed fragment tokens == the snippet's tokens
         assert tokenize_py(r.fragment) == r.snippet.split(" ")
+        # <em> tagging: stripping the tags recovers the raw fragment;
+        # exactly the window tokens that analyze to a query term are
+        # wrapped (conjunctive window => at least one wrap per hit)
+        assert _re.sub("</?em>", "", r.fragment_em) == r.fragment
+        tset = set(tokenize_py(qtext_by_id[int(r.query_id)]))
+        wrapped = _re.findall("<em>(.*?)</em>", r.fragment_em)
+        assert len(wrapped) >= 1
+        assert all(w.lower() in tset for w in wrapped)
+        win_toks = [
+            t[a:z].lower()
+            for a, z in spans[int(r.win_start) : int(r.win_end) + 1]
+        ]
+        assert len(wrapped) == sum(1 for w in win_toks if w in tset)
     # windows-only surface (no docs_df): same rows, no snippet column
     wins = eng.search_highlight(queries).toPandas()
     assert "snippet" not in wins.columns and len(wins) >= len(exp)
