@@ -1173,10 +1173,25 @@ def bm25_composed_oracle_sql(
 
     like_rows, fuzzy_rows, ph_rows, neg_rows, nph_rows, qn_rows = [], [], [], [], [], []
     qa_rows: list[str] = []
-    for qid, text, k in queries if queries is not None else COMPOSED_QUERIES:
+    qm_rows: list[str] = []
+    for row in queries if queries is not None else COMPOSED_QUERIES:
+        qid, text, k = row[0], row[1], row[2]
+        msm = int(row[3]) if len(row) > 3 else 0
         s = QueryEngine._parse_composed_query(text)
         negset = set(s["neg"])
         cb = s.get("boosts", {})
+        # minimum_should_match clause keys mirror the engine exactly:
+        # bare SHOULD terms and prefix roots negation-pruned, fuzzy
+        # roots kept; msm is a no-op when the query has no clauses
+        n_clauses = len(
+            (set(s["should"]) - negset)
+            | {p + "*" for p in set(s["prefix"]) - negset}
+            | {f + "~" for f in set(s["fuzzy"])}
+        )
+        qm_rows.append(f"({qid}, {msm if n_clauses else 0})")
+
+        def _cl(key, is_clause=True):
+            return f"'{key}'" if is_clause else "CAST(NULL AS VARCHAR)"
 
         def _sql_boost(*keys):
             # max EXPLICIT clause boost reaching the row, NULL when none
@@ -1190,11 +1205,18 @@ def bm25_composed_oracle_sql(
             bkeys = ([t] if t in s["should"] else []) + [
                 " ".join(p) for p in s["phrases"] if t in p
             ]
-            like_rows.append(f"({qid}, '{t}', {k}, {_sql_boost(*bkeys)})")
+            like_rows.append(
+                f"({qid}, '{t}', {k}, {_sql_boost(*bkeys)}, "
+                f"{_cl(t, t in s['should'])})"
+            )
         for t in sorted(set(s["prefix"]) - negset):
-            like_rows.append(f"({qid}, '{t}%', {k}, {_sql_boost(t + '*')})")
+            like_rows.append(
+                f"({qid}, '{t}%', {k}, {_sql_boost(t + '*')}, {_cl(t + '*')})"
+            )
         for t in sorted(set(s["fuzzy"])):
-            fuzzy_rows.append(f"({qid}, '{t}', {k}, {_sql_boost(t + '~')})")
+            fuzzy_rows.append(
+                f"({qid}, '{t}', {k}, {_sql_boost(t + '~')}, {_cl(t + '~')})"
+            )
         for t in sorted(negset):
             neg_rows.append(f"({qid}, '{t}')")
         for p in s["phrases"]:
@@ -1213,7 +1235,9 @@ def bm25_composed_oracle_sql(
             f" WHERE {' AND '.join(preds) if preds else 'TRUE'}"
         )
     # empty VALUES lists are a syntax error: pad with a never-matching row
-    fuzzy_rows = fuzzy_rows or ["(-1, 'zzzdummy', 0, CAST(NULL AS DOUBLE))"]
+    fuzzy_rows = fuzzy_rows or [
+        "(-1, 'zzzdummy', 0, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))"
+    ]
     ph_rows = ph_rows or ["(-1, 'zzzdummy')"]
     neg_rows = neg_rows or ["(-1, 'zzzdummy')"]
     nph_rows = nph_rows or ["(-1, 'zzzdummy')"]
@@ -1241,12 +1265,13 @@ tstr AS (
   FROM documents
 ),
 {allowed_cte},
-ql(query_id, patt, k, boost) AS (VALUES {", ".join(like_rows)}),
-qf(query_id, tok, k, boost) AS (VALUES {", ".join(fuzzy_rows)}),
+ql(query_id, patt, k, boost, clause) AS (VALUES {", ".join(like_rows)}),
+qf(query_id, tok, k, boost, clause) AS (VALUES {", ".join(fuzzy_rows)}),
 ph(query_id, phrase) AS (VALUES {", ".join(ph_rows)}),
 nq(query_id, term) AS (VALUES {", ".join(neg_rows)}),
 nph(query_id, phrase) AS (VALUES {", ".join(nph_rows)}),
 qn(query_id, n_phrases) AS (VALUES {", ".join(qn_rows)}),
+qm(query_id, msm) AS (VALUES {", ".join(qm_rows)}),
 qe AS (
   -- boost: per-term max of EXPLICIT clause boosts (NULL = unboosted
   -- row), coalesced to 1.0 only after the max — an unboosted clause
@@ -1259,6 +1284,22 @@ qe AS (
     SELECT q.query_id, ts.term, q.k, q.boost
     FROM qf q JOIN ts ON levenshtein(q.tok, ts.term) <= 1
   ) u
+  GROUP BY 1, 2
+),
+qcm AS (
+  -- (query, term) -> SHOULD clause key, for minimum_should_match
+  SELECT DISTINCT query_id, clause, term FROM (
+    SELECT q.query_id, q.clause, ts.term
+    FROM ql q JOIN ts ON ts.term LIKE q.patt WHERE q.clause IS NOT NULL
+    UNION ALL
+    SELECT q.query_id, q.clause, ts.term
+    FROM qf q JOIN ts ON levenshtein(q.tok, ts.term) <= 1
+    WHERE q.clause IS NOT NULL
+  ) u
+),
+cm AS (
+  SELECT qcm.query_id, p.doc_id, count(DISTINCT qcm.clause) AS nm
+  FROM qcm JOIN post p ON p.term = qcm.term
   GROUP BY 1, 2
 ),
 pm AS (
@@ -1283,8 +1324,11 @@ sc AS (
   JOIN ts ON ts.term = qe.term
   JOIN dl ON dl.doc_id = p.doc_id
   JOIN qn ON qn.query_id = qe.query_id
+  JOIN qm ON qm.query_id = qe.query_id
+  LEFT JOIN cm ON cm.query_id = qe.query_id AND cm.doc_id = p.doc_id
   CROSS JOIN st
-  WHERE NOT EXISTS (
+  WHERE (qm.msm = 0 OR coalesce(cm.nm, 0) >= qm.msm)
+  AND NOT EXISTS (
     SELECT 1 FROM nq JOIN post np ON np.term = nq.term AND np.doc_id = p.doc_id
     WHERE nq.query_id = qe.query_id
   )
@@ -1359,6 +1403,61 @@ def bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_boosted_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
     return bm25_composed_oracle_sql(k1, b, queries=BOOSTED_QUERIES)
+
+
+# --- minimum_should_match -----------------------------------------------------
+# The ES bool-query minimum_should_match knob: a doc is eligible only
+# if it matches >= N DISTINCT SHOULD clauses (bare term / prefix /
+# fuzzy each count once however many expansion terms hit).  msm=1 is
+# plain OR; msm = clause count is AND; msm > clause count matches
+# nothing; msm on a query with no SHOULD clauses is ignored (ES
+# semantics).  The engine counts matched clauses on the already-
+# filtered postings and folds eligibility into the allowed-set filter,
+# so every scoring path (WAND, phrase-candidate, local, sharded)
+# inherits it; the oracle counts DISTINCT clause keys per doc.
+
+MSM_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "table scan merge", 10, 2),     # 2-of-3
+    (1, "table scan merge", 10, 1),     # control: msm=1 == plain OR
+    (2, "table scan merge", 10, 3),     # 3-of-3 == AND
+    (3, '"hash join" tab* dup', 10, 2),  # MUST phrase + 2-of-2 clauses
+    (4, "tab* merg~ value", 10, 2),     # prefix + fuzzy + bare, 2-of-3
+    (5, "table scan merge", 10, 4),     # msm > clause count -> empty
+    (6, "table -dup scan*", 10, 2),     # negation + prefix, 2-of-2
+    (7, '"sort key" -"hash join"', 10, 3),  # no SHOULD clauses: ignored
+]
+
+
+def msm_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in MSM_QUERIES],
+            "text": [q[1] for q in MSM_QUERIES],
+            "k": [q[2] for q in MSM_QUERIES],
+            "msm": [q[3] for q in MSM_QUERIES],
+        }
+    )
+
+
+def bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed search with minimum_should_match under the tenant
+    filter — must match the clause-counting oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_composed(msm_queries_pdf(), allowed=_allowed_ids(sf_dir))
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            msm_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_msm_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    return bm25_composed_oracle_sql(k1, b, queries=MSM_QUERIES)
 
 
 # --- field-scoped composed search ---------------------------------------------
@@ -2214,6 +2313,10 @@ def registry() -> dict[str, tuple]:
         # clause^B boosts (term/phrase/prefix/fuzzy) folded into the
         # per-term idf engine-side, multiplied into the SQL BM25 sum
         "bm25_topk_boosted": (bm25_boosted, bm25_boosted_oracle_sql()),
+        # minimum_should_match: >= N distinct SHOULD clauses per doc,
+        # engine folds eligibility into the allowed filter, oracle
+        # counts distinct clause keys
+        "bm25_topk_msm": (bm25_msm, bm25_msm_oracle_sql()),
         # ES/Lucene highlighter: conjunctive top-k + minimal covering
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions

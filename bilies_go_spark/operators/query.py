@@ -349,6 +349,8 @@ def _composed_shard(
             "idf": bst * float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
             "df": dfreq,
         }
+        if "clauses" in rows.columns:
+            per_term[term]["clauses"] = json.loads(rows["clauses"].iloc[0] or "[]")
         nval = int(rows["neg"].iloc[0])
         if nval == 1:
             neg.add(term)
@@ -391,6 +393,28 @@ def _composed_shard(
         if not sterms:
             return empty
 
+    # minimum_should_match: DISTINCT matched clauses per doc — exact
+    # per shard because a doc's postings for EVERY clause term land in
+    # its shard; counted on the shard-sliced id arrays (never dense)
+    msm = int(spec.get("msm", 0))
+    msm_eligible: np.ndarray | None = None
+    if msm > 0:
+        cl_map: dict[int, list[str]] = {}
+        for t in sterms:
+            for c in per_term[t].get("clauses", ()):
+                cl_map.setdefault(int(c), []).append(t)
+        per_clause = [
+            np.unique(np.concatenate([quads[t][0] for t in ts_]))
+            for ts_ in cl_map.values()
+            if any(quads[t][0].size for t in ts_)
+        ]
+        if len(per_clause) < msm:
+            return empty
+        u, cnt = np.unique(np.concatenate(per_clause), return_counts=True)
+        msm_eligible = u[cnt >= msm].astype(np.int64)
+        if msm_eligible.size == 0:
+            return empty
+
     # MUST phrases, intersected
     cand: np.ndarray | None = None
     for p in phrases:
@@ -410,6 +434,14 @@ def _composed_shard(
         if cand.size == 0:
             return empty
 
+    if msm_eligible is not None:
+        cand = (
+            msm_eligible
+            if cand is None
+            else np.intersect1d(cand, msm_eligible, assume_unique=True)
+        )
+        if cand.size == 0:
+            return empty
     decoded = {t: quads[t][:3] for t in sterms}
     doc, acc = _merge_accumulate(decoded, per_term, sterms, avgdl, k1, b, cand=cand)
     if doc.size == 0:
@@ -1798,6 +1830,8 @@ def composed_query_kernel(
             "df": dfreq,
             "runs": [row_to_segment(r) for _, r in rows.iterrows()],
         }
+        if "clauses" in rows.columns:
+            per_term[term]["clauses"] = json.loads(rows["clauses"].iloc[0] or "[]")
         nval = int(rows["neg"].iloc[0])
         if nval == 1:
             neg.add(term)
@@ -1857,6 +1891,50 @@ def composed_query_kernel(
                 else np.union1d(flt.deleted, matched)
             )
             flt = DocSetFilter(tomb, flt.allowed)
+
+    # 1c. minimum_should_match -> eligible docs fold into the filter's
+    # allowed side (postings-proportional: unique doc set per clause,
+    # multiplicity count across clauses — never an n_docs-dense array,
+    # so the doc-range-sharded twin stays slice-sized at scale)
+    msm = int(spec.get("msm", 0))
+    if msm > 0:
+        cl_map: dict[int, list[str]] = {}
+        for t in sterms:
+            for c in per_term[t].get("clauses", ()):
+                cl_map.setdefault(int(c), []).append(t)
+        if cl_map:
+            per_clause = []
+            for c in sorted(cl_map):
+                parts = []
+                for t in cl_map[c]:
+                    ids, _, _ = _decode_term_runs(
+                        per_term[t]["runs"], None, deleted=flt
+                    )
+                    stats.blocks_decoded += sum(
+                        len(seg.block_last_doc_id) for seg in per_term[t]["runs"]
+                    )
+                    if ids.size:
+                        parts.append(ids)
+                if parts:
+                    per_clause.append(
+                        np.unique(np.concatenate(parts))
+                        if len(parts) > 1
+                        else np.sort(parts[0])
+                    )
+            if len(per_clause) < msm:
+                return empty
+            u, cnt = np.unique(np.concatenate(per_clause), return_counts=True)
+            eligible = u[cnt >= msm].astype(np.int64)
+            if eligible.size == 0:
+                return empty
+            allow = (
+                eligible
+                if flt.allowed is None
+                else np.intersect1d(flt.allowed, eligible, assume_unique=True)
+            )
+            if allow.size == 0:
+                return empty
+            flt = DocSetFilter(flt.deleted, allow)
 
     # 2. MUST phrases -> intersected candidate set
     cand: np.ndarray | None = None
@@ -3143,6 +3221,35 @@ class QueryEngine:
                 for t in sterms
             }
             decoded = {t: _alive_triple(entries[t][:3], nflt) for t in sterms}
+            # minimum_should_match: count DISTINCT matched clauses per
+            # doc over the already-filtered triples, fold into cand
+            msm = int(spec.get("msm", 0))
+            if msm > 0 and "clauses" in qrows.columns:
+                cl_of = dict(zip(qrows["term"], qrows["clauses"]))
+                cl_map: dict[int, list[str]] = {}
+                for t in sterms:
+                    for c in json.loads(cl_of.get(t) or "[]"):
+                        cl_map.setdefault(int(c), []).append(t)
+                per_clause = [
+                    np.unique(np.concatenate([decoded[t][0] for t in ts_]))
+                    for ts_ in cl_map.values()
+                    if any(decoded[t][0].size for t in ts_)
+                ]
+                if len(per_clause) < msm:
+                    continue
+                u, cnt = np.unique(
+                    np.concatenate(per_clause), return_counts=True
+                )
+                eligible = u[cnt >= msm].astype(np.int64)
+                if eligible.size == 0:
+                    continue
+                cand = (
+                    eligible
+                    if cand is None
+                    else np.intersect1d(cand, eligible, assume_unique=True)
+                )
+                if cand.size == 0:
+                    continue
             if cand is not None:
                 decoded = {t: _restrict_triple(decoded[t], cand) for t in sterms}
             doc, acc = _merge_accumulate(
@@ -3192,7 +3299,7 @@ class QueryEngine:
                     continue
                 extras[c] = (
                     pdf["term"].map(per_term[c]).to_numpy()
-                    if c in ("slots", "neg", "boost")
+                    if c in ("slots", "neg", "boost", "clauses")
                     else qrows[c].iloc[0]
                 )
             pdf = pdf.assign(query_id=int(qid), **extras)
@@ -4213,7 +4320,11 @@ class QueryEngine:
         resolved against ``fields_df``), optionally under an
         allowed-set filter — the ES ``bool`` request surface the
         reference's users write, served by
-        :func:`composed_query_kernel`.
+        :func:`composed_query_kernel`.  An optional ``msm`` column on
+        ``queries`` is ES ``minimum_should_match``: a doc is eligible
+        only if it matches >= msm DISTINCT SHOULD clauses (bare term /
+        prefix / fuzzy each count once however many expansion terms
+        hit); ignored for queries with no SHOULD clauses.
 
         Expansion (prefix dictionary range scan, fuzzy SymSpell join)
         happens once per batch up front; the plan is then the standard
@@ -4269,12 +4380,32 @@ class QueryEngine:
         fuz_exp = self.expand_fuzzy(all_fuzzy) if all_fuzzy else {}
         rows = []
         any_phrase = False
+        has_msm = "msm" in queries.columns
         for r in queries.itertuples(index=False):
             s = parsed[int(r.query_id)]
             negs = sorted(set(s["neg"]))
             negp = [list(p) for p in s["neg_phrases"]]
             should = set(s["should"])
             clause_boosts = s.get("boosts", {})
+            # minimum_should_match: SHOULD clause keys (bare term /
+            # prefix root / fuzzy root, negation-pruned like the
+            # oracle's pattern rows); a doc must match >= msm DISTINCT
+            # clauses to be eligible.  Ignored when the query has no
+            # SHOULD clauses (ES semantics).
+            msm_q = int(getattr(r, "msm", 0) or 0) if has_msm else 0
+            clause_keys = (
+                sorted(set(s["should"]) - set(negs))
+                + sorted(p + "*" for p in set(s["prefix"]) - set(negs))
+                + sorted(f + "~" for f in set(s["fuzzy"]))
+            )
+            if not clause_keys:
+                msm_q = 0
+            cid_of = {ck: i for i, ck in enumerate(clause_keys)}
+            term_clauses: dict[str, set[int]] = {}
+
+            def _tc(t: str, ck: str):
+                if msm_q > 0 and ck in cid_of:
+                    term_clauses.setdefault(t, set()).add(cid_of[ck])
             # per-term boost = max over the clauses that reach the term
             # (bare term / prefix expansion / fuzzy expansion / phrase
             # membership), 1.0 when unboosted
@@ -4286,14 +4417,17 @@ class QueryEngine:
 
             for t in s["should"]:
                 _tb(t, clause_boosts.get(t))
+                _tc(t, t)
             for p in s["prefix"]:
                 should.update(pre_exp.get(p, []))
                 for t in pre_exp.get(p, []):
                     _tb(t, clause_boosts.get(p + "*"))
+                    _tc(t, p + "*")
             for f_ in s["fuzzy"]:
                 should.update(fuz_exp.get(f_, []))
                 for t in fuz_exp.get(f_, []):
                     _tb(t, clause_boosts.get(f_ + "~"))
+                    _tc(t, f_ + "~")
             for p in s["phrases"]:
                 pb = clause_boosts.get(" ".join(p))
                 for t in p:
@@ -4302,9 +4436,10 @@ class QueryEngine:
             # qspec carries ONLY the phrases: SHOULD expansions can run
             # to thousands of terms, and a per-row JSON copy of them
             # would blow the broadcast up quadratically
-            spec = json.dumps(
-                {"phrases": s["phrases"], "neg_phrases": negp}, sort_keys=True
-            )
+            spec_d: dict = {"phrases": s["phrases"], "neg_phrases": negp}
+            if msm_q > 0:
+                spec_d["msm"] = msm_q
+            spec = json.dumps(spec_d, sort_keys=True)
             if s["phrases"] or negp:
                 any_phrase = True
             pos_terms = {t for p in s["phrases"] for t in p}
@@ -4323,7 +4458,14 @@ class QueryEngine:
                     else 0
                 )
                 bst = tboost.get(t, 1.0) if role == 0 else 1.0
-                rows.append((int(r.query_id), t, int(r.k), role, spec, float(bst)))
+                cl = (
+                    json.dumps(sorted(term_clauses.get(t, ())))
+                    if role == 0
+                    else "[]"
+                )
+                rows.append(
+                    (int(r.query_id), t, int(r.k), role, spec, float(bst), cl)
+                )
         if any_phrase and not self.meta.get("positions", False):
             raise ValueError(
                 "composed queries with phrase clauses need an index built "
@@ -4332,7 +4474,7 @@ class QueryEngine:
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(
-            rows, columns=["query_id", "term", "k", "neg", "qspec", "boost"]
+            rows, columns=["query_id", "term", "k", "neg", "qspec", "boost", "clauses"]
         )
         flt = self._doc_filter(
             None if allowed is None else np.ascontiguousarray(allowed, dtype=np.int64)
@@ -4362,7 +4504,8 @@ class QueryEngine:
             return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
         qt = self.spark.createDataFrame(
             qt_pdf,
-            schema="query_id bigint, term string, k int, neg int, qspec string, boost double",
+            schema="query_id bigint, term string, k int, neg int, qspec string, "
+            "boost double, clauses string",
         )
         from bilies_go_spark.functions.xxhash import term_bucket_py
 
@@ -4405,7 +4548,8 @@ class QueryEngine:
             )
         qt = self.spark.createDataFrame(
             qt_pdf,
-            schema="query_id bigint, term string, k int, neg int, qspec string, boost double",
+            schema="query_id bigint, term string, k int, neg int, qspec string, "
+            "boost double, clauses string",
         )
         from bilies_go_spark.functions.xxhash import term_bucket_py
 
@@ -4418,6 +4562,7 @@ class QueryEngine:
         bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
         slice_schema = (
             "query_id bigint, k int, neg int, qspec string, boost double, "
+            "clauses string, "
             "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
             + ", positions_vb binary"
         )
@@ -4425,7 +4570,7 @@ class QueryEngine:
         def slicer(batches):
             for pdf in batches:
                 out = _slice_segments_by_shard_pos(
-                    pdf, bounds, extra_cols=("neg", "qspec", "boost")
+                    pdf, bounds, extra_cols=("neg", "qspec", "boost", "clauses")
                 )
                 if out is not None:
                     yield out

@@ -84,11 +84,29 @@ def _brute_composed(
             for t in p:
                 _tb(t, cb.get(" ".join(p)))
         sterms = sorted((should | {t for p in s["phrases"] for t in p}) - negs)
+        # minimum_should_match clause predicates (bare / prefix / fuzzy,
+        # negation-pruned like the engine); ignored when no clauses
+        msm = int(getattr(q, "msm", 0) or 0)
+        clause_preds = (
+            [lambda ts, c=c: c in ts for c in sorted(set(s["should"]) - negs)]
+            + [
+                lambda ts, p=p: any(v.startswith(p) for v in ts)
+                for p in sorted(set(s["prefix"]) - negs)
+            ]
+            + [
+                lambda ts, f=f: any(_lev_le1(f, v) for v in ts)
+                for f in sorted(set(s["fuzzy"]))
+            ]
+        )
+        if not clause_preds:
+            msm = 0
         scored = []
         for d, t in toks.items():
             if allowed_set is not None and d not in allowed_set:
                 continue
             if negs & set(t):
+                continue
+            if msm > 0 and sum(1 for pr in clause_preds if pr(set(t))) < msm:
                 continue
             if not all(
                 any(t[i : i + len(p)] == p for i in range(len(t) - len(p) + 1))
@@ -396,3 +414,50 @@ def test_composed_boosts_match_brute(spark, small_corpus, pos_idx):
     # and the de-boost query must differ from the plain one too
     b5 = exp[exp["query_id"] == 5][["doc_id", "score"]].reset_index(drop=True)
     assert not b5.equals(b1)
+
+
+MSM = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5, 6],
+        "text": [
+            "water the people",        # 2-of-3
+            "water the people",        # control: msm=1 == plain OR
+            "water the people",        # 3-of-3 == AND
+            '"the of" wa* people',     # MUST phrase + 2-of-2 clauses
+            "wa* watr~ people",        # prefix + fuzzy + bare, 2-of-3
+            "water the people",        # msm > clause count -> empty
+            '"the of" -"water the"', # no SHOULD clauses: msm ignored
+        ],
+        "k": [10, 10, 10, 10, 10, 10, 10],
+        "msm": [2, 1, 3, 2, 2, 4, 3],
+    }
+)
+
+
+def test_composed_msm_match_brute(spark, small_corpus, pos_idx):
+    """minimum_should_match: a doc needs >= msm DISTINCT matched SHOULD
+    clauses (prefix/fuzzy count once however many expansions hit);
+    identical to the brute reference on the distributed, local, and
+    sharded paths; msm beyond the clause count empties the result; msm
+    with no SHOULD clauses is ignored."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_composed(corpus_pdf, MSM)
+    eng = QueryEngine(spark, pos_idx)
+    dist = eng.topk_composed(MSM).toPandas()
+    _assert_same_topk(dist, exp)
+    loc = eng.topk_composed(MSM, mode="local").toPandas()
+    _assert_same_topk(loc, exp)
+    shard = eng.topk_composed(MSM, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(KEY).reset_index(drop=True),
+        dist.sort_values(KEY).reset_index(drop=True),
+    )
+    per_q = exp.groupby("query_id").size()
+    # msm must BITE: 2-of-3 strictly between OR and AND in hit count
+    n_or, n_2, n_and = per_q.get(1, 0), per_q.get(0, 0), per_q.get(2, 0)
+    full = _brute_composed(corpus_pdf, MSM.assign(k=10_000))
+    fq = full.groupby("query_id").size()
+    assert fq.get(1, 0) > fq.get(0, 0) > fq.get(2, 0) > 0, (n_or, n_2, n_and)
+    assert per_q.get(5, 0) == 0          # msm > clause count
+    assert per_q.get(6, 0) > 0           # ignored without clauses
+    assert per_q.get(3, 0) > 0 and per_q.get(4, 0) > 0
