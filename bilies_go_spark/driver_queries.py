@@ -1845,6 +1845,164 @@ WHERE p.doc_id IN ({ids})
 """
 
 
+# --- per-hit score explanation (ES _explain) ----------------------------------
+# The ES /_explain surface: for every top-k hit, the per-term BM25
+# breakdown — tf, df, idf, and the term's contribution to the score.
+# Direction matters at scale exactly as for term vectors: the top-k is
+# served by the inverted index, then tf/dl for the handful of hit docs
+# come from an id-pruned re-analysis of the documents scan (parquet
+# stats skip everything else) and df from driver-side pruned dictionary
+# point reads — never a full-index scan.
+
+EXPLAIN_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table scan", 5),
+    (1, "hash join merge", 5),
+    (2, "zzzmissing value", 5),     # absent term contributes no rows
+    (3, "dup", 5),                  # single term: contrib == score
+    (4, "Batch, WINDOW spark!!", 5),  # normalization
+]
+
+
+def explain_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in EXPLAIN_QUERIES],
+            "text": [q[1] for q in EXPLAIN_QUERIES],
+            "k": [q[2] for q in EXPLAIN_QUERIES],
+        }
+    )
+
+
+def bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, doc_id, score, term, tf, df, idf, contrib) for
+    every matched query term of every top-k hit."""
+    from bilies_go_spark.operators.query import QueryEngine, topk
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    q = explain_queries_pdf()
+    raw = topk(spark, idx, q, prune=True, mode="distributed", tie_margin=BM25_TIE_MARGIN)
+    kdf = F.broadcast(
+        spark.createDataFrame(q[["query_id", "k"]], schema="query_id bigint, k int")
+    )
+    top = _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+    # k·|queries| rows: driver-sized by construction
+    top_p = top.toPandas()
+    if top_p.empty:
+        return spark.createDataFrame(
+            [],
+            schema="query_id bigint, rank int, doc_id bigint, score double, "
+            "term string, tf bigint, df bigint, idf double, contrib double",
+        )
+    hit_ids = sorted({int(d) for d in top_p["doc_id"]})
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id").isin(hit_ids)
+    )
+    toks = docs.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qt_rows = [
+        (int(r.query_id), t)
+        for r in q.itertuples(index=False)
+        for t in sorted(set(tokenize_py(r.text)))
+    ]
+    terms = sorted({t for _, t in qt_rows})
+    df_map = eng.term_dfs(terms)
+    qt = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [r[0] for r in qt_rows],
+                    "term": [r[1] for r in qt_rows],
+                    "df": [int(df_map.get(r[1], 0)) for r in qt_rows],
+                }
+            ),
+            schema="query_id bigint, term string, df bigint",
+        )
+    )
+    k1, b = eng.k1, eng.b
+    idf = F.log1p(
+        (F.lit(float(eng.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / float(eng.avgdl))))
+    )
+    return (
+        F.broadcast(spark.createDataFrame(top_p))
+        .join(qt, "query_id")
+        .join(tf, ["doc_id", "term"])
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "term",
+            "tf",
+            "df",
+            F.round(idf, ROUND_DIGITS).alias("idf"),
+            F.round(contrib, ROUND_DIGITS).alias("contrib"),
+        )
+    )
+
+
+def bm25_explain_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in EXPLAIN_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT r.query_id, r.rank, r.doc_id, r.score, q.term,
+       CAST(p.tf AS BIGINT) AS tf, CAST(ts.df AS BIGINT) AS df,
+       {duck_round('ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))')} AS idf,
+       {duck_round(
+           'ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))'
+           f' * (p.tf * ({k1} + 1.0))'
+           f' / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))'
+       )} AS contrib
+FROM r
+JOIN q ON q.query_id = r.query_id
+JOIN post p ON p.term = q.term AND p.doc_id = r.doc_id
+JOIN ts ON ts.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN st
+WHERE r.rank <= r.k
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -2317,6 +2475,10 @@ def registry() -> dict[str, tuple]:
         # engine folds eligibility into the allowed filter, oracle
         # counts distinct clause keys
         "bm25_topk_msm": (bm25_msm, bm25_msm_oracle_sql()),
+        # ES /_explain: per-term BM25 breakdown (tf/df/idf/contrib) for
+        # every top-k hit — index-served top-k + id-pruned doc
+        # re-analysis + dictionary point reads
+        "bm25_explain": (bm25_explain, bm25_explain_oracle_sql()),
         # ES/Lucene highlighter: conjunctive top-k + minimal covering
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions

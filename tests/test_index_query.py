@@ -385,3 +385,28 @@ def test_filtered_topk_exact_on_all_paths(spark, small_corpus, index_dir):
     assert set(unfiltered["doc_id"]) - set(allowed.tolist()), (
         "fixture filter must exclude some unfiltered top-k docs"
     )
+
+
+def test_explain_contribs_sum_to_score(spark, sf_dir):
+    """bm25_explain: per-term contribs of a hit sum to its score
+    (within rounding), idf matches the closed form, and the absent-term
+    query yields rows only for its present term."""
+    from bilies_go_spark import driver_queries as dq
+
+    got = dq.bm25_explain(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    sums = got.groupby(["query_id", "doc_id"]).agg(
+        s=("score", "first"), c=("contrib", "sum")
+    )
+    np.testing.assert_allclose(
+        sums["s"].to_numpy(), sums["c"].to_numpy(), rtol=0, atol=5e-6
+    )
+    # single-term query: contrib == score exactly (one row per hit)
+    one = got[got["query_id"] == 3]
+    assert len(one) > 0 and (one["term"] == "dup").all()
+    np.testing.assert_allclose(
+        one["score"].to_numpy(), one["contrib"].to_numpy(), rtol=0, atol=1e-9
+    )
+    # absent-term query contributes rows only for the present term
+    q2 = got[got["query_id"] == 2]
+    assert len(q2) > 0 and set(q2["term"]) == {"value"}
