@@ -2003,6 +2003,171 @@ WHERE r.rank <= r.k
 """
 
 
+# --- multi-field search (ES multi_match) --------------------------------------
+# The ES multi_match surface: one query over several fields, each with
+# its OWN per-field statistics (df, dl, avgdl — Lucene semantics) and
+# an optional boost.  The deterministic 'title' field is the first
+# TITLE_TOKENS analyzed tokens of each document; 'body' is the full
+# text.  best_fields = max over boosted field scores (+ tie_breaker *
+# rest), most_fields = their sum.  The engine evaluates EXACTLY via a
+# per-field threshold-algorithm loop (operators/multifield.py); the
+# oracle scores both fields from sliced token sets in SQL.
+
+TITLE_TOKENS = 6
+TITLE_BOOST = 2.0
+
+MULTI_QUERIES: list[tuple[int, str, int, str, float]] = [
+    (0, "table scan", 10, "best", 0.0),
+    (1, "table scan", 10, "most", 0.0),       # same terms, sum combine
+    (2, "table scan", 10, "best", 0.3),       # tie_breaker
+    (3, "hash join merge", 10, "best", 0.0),
+    (4, "key value row", 10, "most", 0.0),
+    (5, "zzzmissing dup", 10, "best", 0.5),   # absent + rare term
+]
+
+
+def multi_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in MULTI_QUERIES],
+            "text": [q[1] for q in MULTI_QUERIES],
+            "k": [q[2] for q in MULTI_QUERIES],
+            "mtype": [q[3] for q in MULTI_QUERIES],
+            "tie_breaker": [q[4] for q in MULTI_QUERIES],
+        }
+    )
+
+
+def _field_index_dir_for(sf_dir: str, field: str) -> str:
+    import bilies_go_spark
+
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{bilies_go_spark.__version__}|mf1|{field}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bgs_docs_findex_{h}")
+
+
+def _title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.multifield import field_text
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", field_text("text", TITLE_TOKENS).alias("text"))
+    )
+
+
+def build_documents_index_field(spark: SparkSession, sf_dir: str, field: str) -> str:
+    """Per-field index: same build machinery over the field projection."""
+    from bilies_go_spark.operators.index_build import BuildConfig, build_index
+
+    _ensure_pyfiles(spark)
+    idx = _field_index_dir_for(sf_dir, field)
+    if os.path.exists(os.path.join(idx, "_index_meta.json")) and os.path.exists(
+        os.path.join(idx, "corpus_stats")
+    ):
+        return idx
+    corpus = (
+        _title_corpus(spark, sf_dir)
+        if field == "title"
+        else documents_corpus(spark, sf_dir)
+    )
+    cfg = BuildConfig(
+        n_buckets=8,
+        build_part_expr="CAST(doc_id % 8 AS STRING)",
+        target_postings_per_salt=200,
+    )
+    build_index(spark, corpus, idx, cfg)
+    return idx
+
+
+def bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match over title^2 + body — must match the per-field SQL
+    oracle rank-for-rank for best/most/tie_breaker combines."""
+    from bilies_go_spark.operators.multifield import multi_match
+
+    _ensure_pyfiles(spark)
+    t_idx = build_documents_index_field(spark, sf_dir, "title")
+    b_idx = build_documents_index_field(spark, sf_dir, "body")
+    q = multi_queries_pdf()
+    raw = multi_match(
+        spark,
+        fields=[("title", t_idx, TITLE_BOOST), ("body", b_idx, 1.0)],
+        corpus_by_field={
+            "title": _title_corpus(spark, sf_dir),
+            "body": documents_corpus(spark, sf_dir).select("doc_id", "text"),
+        },
+        queries=q,
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(q[["query_id", "k"]], schema="query_id bigint, k int")
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_multifield_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows, qprows = [], []
+    for qid, text, k, mtype, tb in MULTI_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+        qprows.append(f"({qid}, {k}, '{mtype}', {tb})")
+    bm25 = (
+        f"ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))"
+        f" * (p.tf * ({k1} + 1.0))"
+        f" / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))"
+    )
+    return f"""
+WITH tkd AS (SELECT doc_id, {duck_tokens()} AS tk FROM documents),
+toks_b AS (SELECT doc_id, t.term FROM tkd, unnest(tkd.tk) AS t(term)),
+toks_t AS (SELECT doc_id, t.term FROM tkd, unnest(tkd.tk[1:{TITLE_TOKENS}]) AS t(term)),
+post_b AS (SELECT term, doc_id, count(*) AS tf FROM toks_b GROUP BY 1, 2),
+dl_b AS (SELECT doc_id, count(*) AS dl FROM toks_b GROUP BY 1),
+st_b AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl_b),
+ts_b AS (SELECT term, count(*) AS df FROM post_b GROUP BY 1),
+post_t AS (SELECT term, doc_id, count(*) AS tf FROM toks_t GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, count(*) AS dl FROM toks_t GROUP BY 1),
+st_t AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl_t),
+ts_t AS (SELECT term, count(*) AS df FROM post_t GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(qrows)}),
+qp(query_id, k, mtype, tb) AS (VALUES {", ".join(qprows)}),
+sf_b AS (
+  SELECT q.query_id, p.doc_id, sum({bm25}) AS s
+  FROM q JOIN post_b p ON p.term = q.term
+  JOIN ts_b ts ON ts.term = q.term
+  JOIN dl_b dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st_b st
+  GROUP BY 1, 2
+),
+sf_t AS (
+  SELECT q.query_id, p.doc_id, sum({bm25}) AS s
+  FROM q JOIN post_t p ON p.term = q.term
+  JOIN ts_t ts ON ts.term = q.term
+  JOIN dl_t dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st_t st
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT query_id, doc_id, {TITLE_BOOST} * s AS bs FROM sf_t
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 * s FROM sf_b
+),
+comb AS (SELECT query_id, doc_id, max(bs) AS mx, sum(bs) AS sm FROM u GROUP BY 1, 2),
+sc AS (
+  SELECT c.query_id, c.doc_id, qp.k,
+         CASE WHEN qp.mtype = 'most' THEN c.sm
+              ELSE c.mx + qp.tb * (c.sm - c.mx) END AS score
+  FROM comb c JOIN qp ON qp.query_id = c.query_id
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- document update (tombstone + re-ingest) gate ----------------------------
 # the reference's stable-_id re-send (/root/reference/batcher.go:91):
 # a re-sent document replaces the old version.  Here: tombstone the old
@@ -2479,6 +2644,10 @@ def registry() -> dict[str, tuple]:
         # every top-k hit — index-served top-k + id-pruned doc
         # re-analysis + dictionary point reads
         "bm25_explain": (bm25_explain, bm25_explain_oracle_sql()),
+        # ES multi_match over per-field indexes (title^2 + body, own
+        # df/dl/avgdl each): best_fields / most_fields / tie_breaker,
+        # exact via threshold-algorithm candidates + exact re-score
+        "bm25_topk_multifield": (bm25_multifield, bm25_multifield_oracle_sql()),
         # ES/Lucene highlighter: conjunctive top-k + minimal covering
         # window per hit + analyzed-token snippet; oracle = anchor-sweep
         # argmin in SQL over 0-based positions
