@@ -552,6 +552,59 @@ def _proximity_shard(
     )
 
 
+def _span_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Ordered-span scoring for one (query, shard): decode every slice
+    with positions, keep docs in [lo, hi), run the ordered-chain
+    verification, fold, shard top-k.  Shard-exact for the same reason
+    as :func:`_phrase_shard` — the chain is doc-local and a doc's
+    positions all live in its shard."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
+    dec = _decode_pos_shard(pdf, lo, hi, n_docs, deleted)
+    if dec is None:
+        return empty
+    terms, per_term, quads = dec
+    keys_by_term = {}
+    for t in terms:
+        ids, tfs, _dls, pos = quads[t]
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    matched = _verify_span_ordered([keys_by_term[t] for t in cseq], slop)
+    if matched.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 def _highlight_shard(
     pdf: pd.DataFrame,
     lo: int,
@@ -1362,6 +1415,127 @@ def phrase_query_kernel(
         return empty
 
     # 3. BM25 over the phrase's distinct terms, matched docs only
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def _verify_span_ordered(keys_list: "list[np.ndarray]", slop: int) -> np.ndarray:
+    """Docs containing an IN-ORDER occurrence chain of the clause terms
+    (Lucene ``span_near(in_order=true)``): positions p1 < p2 < ... < pn,
+    one per clause in clause order, with ``(pn - p1 + 1) - n <= slop``.
+
+    ``keys_list`` is one pre-sorted composite (doc·2^21 + pos) int64
+    key array PER CLAUSE, in clause order (duplicate clauses repeat the
+    term's array; strict < makes the chain use distinct occurrences).
+
+    Vectorized left-to-right DP over the sorted keys: for every
+    occurrence q of clause i+1, its best predecessor is the LATEST
+    clause-i chain end < q in the same doc (one searchsorted), carrying
+    the maximal feasible chain start.  Exact because the carried start
+    is monotone non-decreasing along a doc's chain ends (induction:
+    start_1(p) = p is monotone; start_{i}(q) is a running prefix-max of
+    a monotone sequence), so the latest predecessor always carries the
+    doc's maximal start — the minimal window per end."""
+    e = np.empty(0, dtype=np.int64)
+    n = len(keys_list)
+    cur = keys_list[0]
+    if cur.size == 0:
+        return e
+    start = cur & PHRASE_POS_MASK
+    for kb in keys_list[1:]:
+        if kb.size == 0 or cur.size == 0:
+            return e
+        idx = np.searchsorted(cur, kb) - 1  # latest chain end < q
+        pred_ok = idx >= 0
+        safe = np.maximum(idx, 0)
+        same = pred_ok & ((cur[safe] >> PHRASE_POS_SHIFT) == (kb >> PHRASE_POS_SHIFT))
+        cur, start = kb[same], start[safe][same]  # kb ascending -> sorted
+    if cur.size == 0:
+        return e
+    hit = (cur & PHRASE_POS_MASK) - start + 1 - n <= slop
+    if not hit.any():
+        return e
+    d = (cur >> PHRASE_POS_SHIFT)[hit]
+    return d[np.concatenate([[True], d[1:] != d[:-1]])]
+
+
+def span_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """Ordered span top-k (ES/Lucene ``span_near(in_order=true)``) over
+    a POSITIONAL index: docs containing the clause terms at strictly
+    increasing positions in clause order within ``slop`` total gap,
+    BM25-scored over the distinct clause terms (pinned fold).
+
+    Plan mirrors :func:`phrase_query_kernel`: conjunctive candidate
+    intersection (rarest term full, others candidate-bearing blocks
+    only), then the vectorized ordered-chain verification
+    (:func:`_verify_span_ordered`) on candidate occurrences — cost
+    beyond the conjunctive kernel is O(candidate positions).
+
+    Expects constant ``slop`` and ``cseq`` (JSON list of clause terms
+    in order) plus ``n_terms`` (distinct-term count) columns."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    if len(terms) < n_expected:
+        return empty  # some clause term matches no document
+    per_term: dict[str, dict] = {}
+    for term in terms:
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "span queries require an index built with BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+
+    cand, quads = _positional_candidates(per_term, terms, stats, deleted)
+    if cand.size == 0:
+        return empty
+    keys_by_term = {}
+    for t in terms:
+        ids, tfs, _dls, pos = quads[t]
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    matched = _verify_span_ordered([keys_by_term[t] for t in cseq], slop)
+    if matched.size == 0:
+        return empty
     decoded = {t: quads[t][:3] for t in terms}
     doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
     if doc.size == 0:
@@ -3031,6 +3205,11 @@ class QueryEngine:
                     (df_map[t], int(off), t) for t in terms for off in slots_map[t]
                 )
                 matched = _verify_phrase_keys(keys_by_term, slot_list)
+            elif kind == "span":
+                cseq = [str(t) for t in json.loads(qrows["cseq"].iloc[0])]
+                matched = _verify_span_ordered(
+                    [keys_by_term[t] for t in cseq], int(qrows["slop"].iloc[0])
+                )
             else:
                 # conjunctive doc-candidate restriction (kernel parity)
                 # before the O(Σ occurrences · T) window sweep.  The
@@ -3435,6 +3614,136 @@ class QueryEngine:
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _phrase_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
+
+    def topk_span_near(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
+        """Ordered span top-k — ES/Lucene ``span_near(in_order=true)``:
+        docs containing the query's analyzed tokens at strictly
+        increasing positions IN QUERY ORDER with total gap
+        ``(last - first + 1) - n <= slop`` (per-query ``slop`` column,
+        default 0 — which makes it the phrase query).  The unordered
+        variant is :meth:`topk_proximity` (minimal covering window).
+        BM25-scored over the distinct clause terms; positional index
+        required.  Modes/auto-sharding exactly as :meth:`topk_phrase`;
+        all paths result-identical (pytest-pinned)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "span queries need an index built with BuildConfig(positions=True)"
+            )
+        has_slop = "slop" in queries.columns
+        rows = []
+        for r in queries.itertuples(index=False):
+            cseq = tokenize_py(r.text)
+            if not cseq:
+                continue
+            slop = int(getattr(r, "slop", 0) or 0) if has_slop else 0
+            spec = json.dumps(cseq)
+            for t in sorted(set(cseq)):
+                rows.append(
+                    (int(r.query_id), t, int(r.k), len(set(cseq)), slop, spec)
+                )
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(
+            rows, columns=["query_id", "term", "k", "n_terms", "slop", "cseq"]
+        )
+        if n_shards is None:
+            # heavy queries route off the driver path in every mode,
+            # exactly like topk_phrase (see the comment there)
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if n_shards > 1:
+            return self.topk_span_sharded(queries, qt_pdf, n_shards)
+        if mode == "local":
+            out = self._pos_local(qt_pdf, "span")
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, n_terms int, "
+            "slop int, cseq string",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return span_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_span_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded ordered-span plan — the span twin of
+        :meth:`topk_phrase_sharded` (chain verification is doc-local,
+        so each shard is exact on its doc range)."""
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, n_terms int, "
+            "slop int, cseq string",
+        )
+        terms, buckets = self._terms_and_buckets(queries)
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        slice_schema = (
+            "query_id bigint, k int, n_terms int, slop int, cseq string, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(
+                    pdf, bounds, extra_cols=("n_terms", "slop", "cseq")
+                )
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _span_shard(
                 pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
             )
 

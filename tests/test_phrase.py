@@ -928,3 +928,126 @@ def test_phrase_requires_positional_index(spark, small_corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="positions=True"):
         QueryEngine(spark, d).topk_phrase(PHRASES)
+
+
+# --- ordered span (span_near in_order) ---------------------------------------
+
+def _has_ordered_span(t: list, cseq: list, slop: int) -> bool:
+    """Independent reference: DP with explicit prefix-max over chain
+    starts (does not share the engine's latest-predecessor shortcut)."""
+    import bisect
+
+    occ = [[i for i, w in enumerate(t) if w == c] for c in cseq]
+    if any(not o for o in occ):
+        return False
+    best = {p: p for p in occ[0]}
+    for o in occ[1:]:
+        prev = sorted(best)
+        run_max, m = [], -1
+        for p in prev:
+            m = max(m, best[p])
+            run_max.append(m)
+        nb = {}
+        for q in o:
+            i = bisect.bisect_left(prev, q) - 1
+            if i >= 0:
+                nb[q] = run_max[i]
+        best = nb
+        if not best:
+            return False
+    n = len(cseq)
+    return any(q - s + 1 - n <= slop for q, s in best.items())
+
+
+def _brute_span(corpus_pdf, queries):
+    toks = {
+        int(r.doc_id): tokenize_py(r.text)
+        for r in corpus_pdf.itertuples(index=False)
+    }
+    toks = {d: t for d, t in toks.items() if t}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    out = []
+    for q in queries.itertuples(index=False):
+        cseq = tokenize_py(q.text)
+        terms = sorted(set(cseq))
+        scored = []
+        for d, t in toks.items():
+            if not _has_ordered_span(t, cseq, int(q.slop)):
+                continue
+            s = 0.0
+            for w in terms:
+                tf = t.count(w)
+                if tf == 0 or w not in df:
+                    continue
+                idf = np.log1p((n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * (tf * (K1_DEFAULT + 1.0)) / (
+                    tf + K1_DEFAULT * (1.0 - B_DEFAULT + B_DEFAULT * (len(t) / avgdl))
+                )
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[: int(q.k)], 1):
+            out.append((int(q.query_id), rank, d, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "doc_id", "score"])
+
+
+SPAN = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "the of",          # slop 0 == phrase
+            "the of",          # widened
+            "of the",          # reverse order: different matches
+            "the water the",   # 3 clauses, duplicate term
+            "water water",     # duplicate clause
+            "zzqx the",        # absent -> empty
+        ],
+        "k": [10, 10, 10, 10, 10, 10],
+        "slop": [0, 3, 3, 4, 5, 2],
+    }
+)
+
+
+def test_span_near_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_span(corpus_pdf, SPAN)
+    eng = QueryEngine(spark, pos_index_dir)
+    key = ["query_id", "rank"]
+
+    def chk(got):
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e)
+        assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), e["score"].to_numpy(), rtol=0, atol=1e-9
+        )
+
+    dist = eng.topk_span_near(SPAN).toPandas()
+    chk(dist)
+    chk(eng.topk_span_near(SPAN, mode="local").toPandas())
+    shard = eng.topk_span_near(SPAN, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
+    per_q = exp.groupby("query_id").size()
+    assert all(per_q.get(i, 0) > 0 for i in (0, 1, 2, 3, 4))
+    assert per_q.get(5, 0) == 0
+    # slop widening must add matches; order must matter on this fixture
+    full = _brute_span(corpus_pdf, SPAN.assign(k=10_000))
+    fq = full.groupby("query_id").size()
+    assert fq[1] > fq[0]
+    assert not full[full["query_id"] == 1].equals(full[full["query_id"] == 2])
+    # slop 0 == the phrase query, rank for rank
+    ph = eng.topk_phrase(
+        pd.DataFrame({"query_id": [0], "text": ["the of"], "k": [10]})
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        dist[dist["query_id"] == 0].sort_values(key).reset_index(drop=True),
+        ph.sort_values(key).reset_index(drop=True),
+    )
