@@ -290,12 +290,29 @@ def main() -> None:
     )
     del e_dec, e_art
 
+    def _span_rows(qdf):
+        import json as _json
+
+        rows = []
+        for r in qdf.itertuples(index=False):
+            cseq = tokenize_py(r.text)
+            spec = _json.dumps(cseq)
+            for t in sorted(set(cseq)):
+                rows.append(
+                    (int(r.query_id), t, int(r.k), len(set(cseq)), 3, spec)
+                )
+        return pd.DataFrame(
+            rows, columns=["query_id", "term", "k", "n_terms", "slop", "cseq"]
+        )
+
     _serve_each(peng._phrase_qt_rows, "phrase", "phrase_local")
     _serve_each(_prox_rows, "proximity", "proximity_local")
+    _serve_each(_span_rows, "span", "span_local")
     log(
         f"positional serving: phrase p50={extras['phrase_local_p50_ms']}ms "
         f"p95={extras['phrase_local_p95_ms']}ms; proximity "
-        f"p50={extras['proximity_local_p50_ms']}ms p95={extras['proximity_local_p95_ms']}ms"
+        f"p50={extras['proximity_local_p50_ms']}ms p95={extras['proximity_local_p95_ms']}ms; "
+        f"span p50={extras['span_local_p50_ms']}ms p95={extras['span_local_p95_ms']}ms"
     )
 
     # --- composed (bool) serving: phrase MUST + OR SHOULD + a negated
