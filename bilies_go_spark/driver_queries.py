@@ -638,6 +638,103 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- wildcard queries ---------------------------------------------------------
+# Full Lucene wildcard pieces: ``*`` = any run (incl. empty), ``?`` =
+# exactly one char, anywhere in the piece.  Strictly generalizes the
+# trailing-* prefix surface: the literal prefix before the first
+# metacharacter still drives the pushed-down dictionary range scan,
+# the fetched slice filters through the compiled regex, and the query
+# scores as the OR of the expanded terms (exact-scoring MultiTermQuery
+# rewrite).  A leading wildcard degrades to a full dictionary *column*
+# scan (Lucene's cost too), never a postings read.
+
+WILDCARD_QUERIES: list[tuple[int, str, int]] = [
+    (0, "ta?le", 10),       # single-char hole
+    (1, "s?a*", 10),        # hole + run (scan/stat/shard/...)
+    (2, "*tion", 10),       # leading wildcard: full dictionary scan
+    (3, "qu*y table", 10),  # wildcard + literal piece
+    (4, "zz?q*", 10),       # empty expansion
+    (5, "w*d?w", 10),       # two metachars (window/widow-shaped)
+]
+
+
+def wildcard_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in WILDCARD_QUERIES],
+            "text": [q[1] for q in WILDCARD_QUERIES],
+            "k": [q[2] for q in WILDCARD_QUERIES],
+        }
+    )
+
+
+def bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-expanded top-k — must match the LIKE-expansion oracle
+    rank-for-rank (``*``→``%``, ``?``→``_``)."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_wildcard(wildcard_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            wildcard_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_wildcard_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in WILDCARD_QUERIES:
+        for piece in text.split():
+            if "*" in piece or "?" in piece:
+                patt = piece.lower().replace("*", "%").replace("?", "_")
+            else:
+                toks = tokenize_py(piece)
+                assert len(toks) == 1
+                patt = toks[0]
+            qrows.append(f"({qid}, '{patt}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, patt, k) AS (VALUES {values}),
+qe AS (
+  SELECT DISTINCT q.query_id, ts.term, q.k
+  FROM q JOIN ts ON ts.term LIKE q.patt
+),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -2714,6 +2811,9 @@ def registry() -> dict[str, tuple]:
         # trailing-* prefix expansion against the term dictionary;
         # oracle = LIKE-expansion over the same stats CTEs
         "bm25_topk_prefix": (bm25_prefix, bm25_prefix_oracle_sql()),
+        # full Lucene wildcard pieces (*/? anywhere): dictionary-pruned
+        # regex expansion; oracle = LIKE with *->%, ?->_
+        "bm25_topk_wildcard": (bm25_wildcard, bm25_wildcard_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

@@ -315,6 +315,62 @@ def test_prefix_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir
     assert len({v for v in vocab if v.startswith("th")}) > 1
 
 
+def test_wildcard_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir):
+    """topk_wildcard == brute disjunctive BM25 over the regex expansion
+    computed independently from the corpus vocabulary; also pins the
+    parser's rejection of out-of-alphabet patterns and the empty
+    expansion."""
+    import re as _re
+
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    vocab = sorted({t for txt in corpus_pdf["text"] for t in tokenize_py(txt)})
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["th?", "w*s the", "*er", "zz?q*"],
+            "k": [10, 10, 10, 10],
+        }
+    )
+
+    def expand(q):
+        terms = []
+        for piece in q.text.split():
+            if "*" in piece or "?" in piece:
+                rx = _re.compile(
+                    "".join(
+                        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                        for c in piece
+                    )
+                )
+                terms += [v for v in vocab if rx.fullmatch(v)]
+            else:
+                terms.append(piece)
+        return terms
+
+    exp = _brute_filtered_topk(
+        corpus_pdf,
+        queries,
+        match_fn=lambda q, t: bool(set(expand(q)) & set(t)),
+        terms_fn=expand,
+    )
+    eng = QueryEngine(spark, pos_index_dir)
+    got = eng.topk_wildcard(queries).toPandas()
+    _assert_same_topk(got, exp)
+    # the leading-wildcard pattern must genuinely expand to >1 term
+    assert len([v for v in vocab if v.endswith("er")]) > 1
+    # local == distributed on the same queries
+    loc = eng.topk_wildcard(queries, mode="local").toPandas()
+    pd.testing.assert_frame_equal(
+        loc.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        obj="wildcard local",
+    )
+    with pytest.raises(ValueError):
+        eng.topk_wildcard(
+            pd.DataFrame({"query_id": [0], "text": ["bad-pat*"], "k": [5]})
+        )
+
+
 def test_local_mode_equals_distributed(spark, pos_index_dir):
     """The driver-local serving path (term-cache + pandas kernels, no
     Spark job) answers identically to the distributed plan for phrase,
