@@ -735,6 +735,95 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- field collapsing ---------------------------------------------------------
+# ES `collapse`: rank normally, keep the best hit per distinct value of
+# the collapse field, re-rank survivors, return top-k GROUPS.  Engine
+# plan = full-match kernel scores + fact join on the collapse column +
+# two windows; oracle = the same two row_numbers in SQL.
+
+COLLAPSE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table", 8),       # single term, more matches than groups
+    (1, "hash join", 8),   # OR of two terms
+    (2, "the", 5),         # stopword: every group represented, k cuts
+    (3, "zzqq", 8),        # no matches
+]
+COLLAPSE_COL = "source"
+
+
+def collapse_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in COLLAPSE_QUERIES],
+            "text": [q[1] for q in COLLAPSE_QUERIES],
+            "k": [q[2] for q in COLLAPSE_QUERIES],
+        }
+    )
+
+
+def bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed top-k — best hit per `source`, ranked."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    groups = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.col(COLLAPSE_COL).alias("grp")
+    )
+    return eng.topk_collapse(collapse_queries_pdf(), groups, round_digits=ROUND_DIGITS)
+
+
+def bm25_collapse_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in COLLAPSE_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT sc.query_id, sc.doc_id, sc.k, {duck_round('sc.score')} AS score,
+         d.{COLLAPSE_COL} AS grp
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+best AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id, grp ORDER BY score DESC, doc_id ASC
+         ) AS rn
+  FROM g
+),
+r AS (
+  SELECT query_id, doc_id, score, grp, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM best WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, score, grp FROM r WHERE rank <= k
+"""
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -2814,6 +2903,9 @@ def registry() -> dict[str, tuple]:
         # full Lucene wildcard pieces (*/? anywhere): dictionary-pruned
         # regex expansion; oracle = LIKE with *->%, ?->_
         "bm25_topk_wildcard": (bm25_wildcard, bm25_wildcard_oracle_sql()),
+        # ES field collapsing: best hit per collapse-field value, top-k
+        # groups; full-match kernel + fact join + two windows
+        "bm25_topk_collapse": (bm25_collapse, bm25_collapse_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

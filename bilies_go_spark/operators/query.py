@@ -4292,6 +4292,64 @@ class QueryEngine:
             pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
         )
 
+    # -- field collapsing ------------------------------------------------------
+
+    def topk_collapse(
+        self,
+        queries: pd.DataFrame,
+        groups_df: DataFrame,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """ES field collapsing (the ``collapse`` request body option):
+        rank the disjunctive match set normally, keep only the single
+        best hit per distinct collapse-field value, re-rank the
+        survivors, return the top k *groups* per query.  ``groups_df``
+        is ``(doc_id, grp)`` — the collapse field projected from the
+        docs table (nulls collapse into one group, ES missing-field
+        semantics).
+
+        Plan: the full match set scores through the identical pruned
+        segment scan + per-query kernel as :meth:`topk_distributed`
+        (k lifted to n_docs, so the heap never cuts), then joins the
+        collapse column as a fact join — AQE converts it to broadcast
+        when the match set is selective — and two windows do
+        best-per-group and the final ranking.  Scale note: at 10^12
+        docs the doc-range-sharded plan applies unchanged — each shard
+        returns its top-k *groups* (best hit per group), and per-shard
+        top-k groups provably suffice for the exact global merge: if a
+        group is in the global top k, the shard holding its best hit
+        cannot have k groups whose shard-bests all beat it, because
+        each of those would also be a globally-better group.
+        ``round_digits`` pins the ordering the selection uses to the
+        driver-parity rounding so best-per-group and the final rank
+        agree with a rounded-score oracle."""
+        big = queries.copy()
+        big["k"] = int(self.n_docs)
+        scored = self.topk_distributed(big, n_shards=1).drop("rank")
+        if round_digits is not None:
+            scored = scored.withColumn("score", F.round("score", round_digits))
+        j = scored.join(groups_df, "doc_id")
+        w_grp = Window.partitionBy("query_id", "grp").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        best = (
+            j.withColumn("_rn", F.row_number().over(w_grp))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kdf = F.broadcast(
+            self.spark.createDataFrame(
+                queries[["query_id", "k"]], schema="query_id bigint, k int"
+            )
+        )
+        return (
+            best.join(kdf, "query_id")
+            .withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score", "grp")
+        )
+
     @staticmethod
     def _parse_boolean_query(text: str) -> list[tuple[str, bool]]:
         """(token, is_negated) pairs: a leading ``-`` (the Lucene

@@ -345,6 +345,69 @@ def test_match_ids_equals_brute_and(spark, small_corpus, index_dir):
     assert len(got), "fixture must produce at least one match"
 
 
+def test_collapse_best_per_group_exact(spark, small_corpus, index_dir):
+    """topk_collapse == brute: score every matching doc, keep the best
+    per group (rounded score desc, doc_id asc), re-rank, cut at k.
+    Null group values collapse into ONE group (ES missing-field
+    semantics), pinned by leaving some docs out of the groups frame."""
+    import pandas as pd
+
+    from bilies_go_spark.functions.tokenize import tokenize_py
+    from bilies_go_spark.operators.bm25 import brute_force_scores
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "text": ["the", "you that", "zzqq"], "k": [4, 3, 5]}
+    )
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    # deterministic synthetic collapse field, with a null stripe
+    grp_pdf = corpus_pdf[["doc_id"]].copy()
+    grp_pdf["grp"] = grp_pdf["doc_id"].map(
+        lambda d: None if d % 11 == 0 else f"g{d % 7}"
+    )
+    groups = spark.createDataFrame(grp_pdf, schema="doc_id bigint, grp string")
+
+    got = (
+        QueryEngine(spark, index_dir)
+        .topk_collapse(queries, groups, round_digits=6)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    scores = brute_force_scores(spark, small_corpus, queries).toPandas()
+    scores["score"] = scores["score"].round(6)
+    exp_rows = []
+    for q in queries.itertuples(index=False):
+        sub = scores[scores.query_id == q.query_id].merge(grp_pdf, on="doc_id")
+        sub["grp"] = sub["grp"].fillna("\0null")
+        sub = sub.sort_values(["score", "doc_id"], ascending=[False, True])
+        best = sub.groupby("grp", sort=False).head(1)
+        best = best.sort_values(["score", "doc_id"], ascending=[False, True]).head(
+            int(q.k)
+        )
+        for rank, r in enumerate(best.itertuples(index=False), start=1):
+            exp_rows.append(
+                (
+                    int(q.query_id),
+                    rank,
+                    int(r.doc_id),
+                    float(r.score),
+                    None if r.grp == "\0null" else r.grp,
+                )
+            )
+    exp = pd.DataFrame(
+        exp_rows, columns=["query_id", "rank", "doc_id", "score", "grp"]
+    )
+    exp["rank"] = exp["rank"].astype("int32")
+    pd.testing.assert_frame_equal(got, exp)
+    # the fixture must genuinely collapse (fewer survivors than matches)
+    n_match = (scores.query_id == 0).sum()
+    assert n_match > got[got.query_id == 0].shape[0]
+    # and the null group must have contributed exactly one survivor row
+    assert got["grp"].isna().sum() >= 1
+
+
 def test_filtered_topk_exact_on_all_paths(spark, small_corpus, index_dir):
     """Metadata-filtered search (allowed doc set, GLOBAL scoring stats)
     is exact on the serving, per-query-distributed, and sharded paths:
