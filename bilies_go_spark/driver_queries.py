@@ -21,6 +21,7 @@ run by an independent engine.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 
@@ -821,6 +822,107 @@ r AS (
   FROM best WHERE rn = 1
 )
 SELECT query_id, rank, doc_id, score, grp FROM r WHERE rank <= k
+"""
+
+
+# --- function_score -----------------------------------------------------------
+# ES function_score, boost_mode=multiply, score_mode=multiply over two
+# functions on the `n_chars` metadata column:
+#   gauss decay: exp(-max(0, |n_chars - ORIGIN|)^2 / (2 sigma^2)),
+#     sigma^2 = SCALE^2 / (2 ln(1/DECAY))  (the ES gauss definition)
+#   field_value_factor: 1 + FVF_FACTOR * ln(1 + n_chars) (modifier ln1p,
+#     +1 so the factor boosts instead of crushing small docs)
+# The factor re-orders hits, so ranking runs over modified scores (full
+# match set, see QueryEngine.topk_function_score).
+
+FSCORE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "table", 10),
+    (1, "hash join", 10),
+    (2, "the scan", 10),
+    (3, "zzqq", 10),
+]
+FS_ORIGIN = 500.0
+FS_SCALE = 300.0
+FS_DECAY = 0.5
+FVF_FACTOR = 0.1
+
+
+def fscore_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in FSCORE_QUERIES],
+            "text": [q[1] for q in FSCORE_QUERIES],
+            "k": [q[2] for q in FSCORE_QUERIES],
+        }
+    )
+
+
+def bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score top-k: BM25 × gauss(n_chars) × fvf(n_chars)."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    sigma2 = FS_SCALE**2 / (2.0 * math.log(1.0 / FS_DECAY))
+    x = F.col("n_chars").cast("double")
+    gauss = F.exp(-F.pow(F.greatest(F.abs(x - FS_ORIGIN), F.lit(0.0)), 2) / (2 * sigma2))
+    fvf = 1.0 + FVF_FACTOR * F.log(1.0 + x)
+    factors = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", (gauss * fvf).alias("factor")
+    )
+    return eng.topk_function_score(
+        fscore_queries_pdf(), factors, round_digits=ROUND_DIGITS
+    )
+
+
+def bm25_function_score_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in FSCORE_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    sigma2 = FS_SCALE**2 / (2.0 * math.log(1.0 / FS_DECAY))
+    factor = (
+        f"exp(-pow(greatest(abs(d.n_chars - {FS_ORIGIN!r}), 0.0), 2) "
+        f"/ (2 * {sigma2!r})) * (1.0 + {FVF_FACTOR!r} * ln(1.0 + d.n_chars))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+fs AS (
+  SELECT sc.query_id, sc.doc_id, sc.k,
+         {duck_round(f'sc.score * ({factor})')} AS score
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+r AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM fs
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
@@ -2906,6 +3008,9 @@ def registry() -> dict[str, tuple]:
         # ES field collapsing: best hit per collapse-field value, top-k
         # groups; full-match kernel + fact join + two windows
         "bm25_topk_collapse": (bm25_collapse, bm25_collapse_oracle_sql()),
+        # ES function_score (gauss decay x field_value_factor, multiply
+        # modes): modified-score ranking over the full match set
+        "bm25_topk_fscore": (bm25_function_score, bm25_function_score_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

@@ -4350,6 +4350,54 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score", "grp")
         )
 
+    def topk_function_score(
+        self,
+        queries: pd.DataFrame,
+        factors_df: DataFrame,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """ES ``function_score`` with ``boost_mode: multiply``: the
+        final score is BM25 × a per-doc factor computed from doc
+        metadata (decay functions, ``field_value_factor``, …— the
+        caller composes the functions into ``factors_df`` =
+        ``(doc_id, factor)``; ``score_mode`` across functions is folded
+        there too).  Docs absent from ``factors_df`` keep factor 1
+        (the ES ``missing`` default).
+
+        Because the factor re-orders hits, top-k must rank the
+        MODIFIED scores: the full match set scores through the same
+        pruned-scan kernel as :meth:`topk_distributed` (k lifted to
+        n_docs), the factor joins as a fact join (AQE broadcasts when
+        selective), and one window ranks.  Scale note: the factor is a
+        pure per-doc column — at 10^12 docs it lives as a doc-range-
+        sliced artifact next to the dl stats, each shard task reads
+        only its range, and the sharded merge is the standard top-k
+        merge (factors don't couple docs).  Block-max pruning over
+        modified scores stays exact when blocks carry
+        ub(bm25) × max-factor per doc range — not implemented here;
+        the uncut kernel is the exactness baseline."""
+        big = queries.copy()
+        big["k"] = int(self.n_docs)
+        scored = self.topk_distributed(big, n_shards=1).drop("rank")
+        j = scored.join(factors_df, "doc_id", "left").withColumn(
+            "score",
+            F.col("score") * F.coalesce(F.col("factor"), F.lit(1.0)),
+        )
+        if round_digits is not None:
+            j = j.withColumn("score", F.round("score", round_digits))
+        w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kdf = F.broadcast(
+            self.spark.createDataFrame(
+                queries[["query_id", "k"]], schema="query_id bigint, k int"
+            )
+        )
+        return (
+            j.join(kdf, "query_id")
+            .withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     @staticmethod
     def _parse_boolean_query(text: str) -> list[tuple[str, bool]]:
         """(token, is_negated) pairs: a leading ``-`` (the Lucene

@@ -408,6 +408,45 @@ def test_collapse_best_per_group_exact(spark, small_corpus, index_dir):
     assert got["grp"].isna().sum() >= 1
 
 
+def test_function_score_modifies_ranking(spark, small_corpus, index_dir):
+    """topk_function_score ranks BM25 x factor; docs missing from the
+    factors frame keep factor 1; a doc-inverting factor must actually
+    reorder the plain top-k."""
+    import pandas as pd
+
+    from bilies_go_spark.operators.bm25 import brute_force_scores
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame({"query_id": [0], "text": ["the"], "k": [10]})
+    eng = QueryEngine(spark, index_dir)
+    # factor strongly favors high doc ids; odd ids missing (factor 1)
+    corpus_pdf = small_corpus.select("doc_id").toPandas()
+    fac_pdf = corpus_pdf[corpus_pdf["doc_id"] % 2 == 0].copy()
+    fac_pdf["factor"] = 1.0 + fac_pdf["doc_id"] / 10.0
+    factors = spark.createDataFrame(fac_pdf, schema="doc_id bigint, factor double")
+    got = (
+        eng.topk_function_score(queries, factors, round_digits=6)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    scores = brute_force_scores(spark, small_corpus, queries).toPandas()
+    fmap = dict(zip(fac_pdf["doc_id"], fac_pdf["factor"]))
+    scores["score"] = (
+        scores["score"] * scores["doc_id"].map(lambda d: fmap.get(d, 1.0))
+    ).round(6)
+    exp = (
+        scores.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert np.allclose(got["score"], exp["score"])
+    # the factor must have changed the plain ordering
+    plain = eng.topk(queries).toPandas().sort_values("rank")
+    assert list(got["doc_id"]) != list(plain.head(10)["doc_id"])
+
+
 def test_filtered_topk_exact_on_all_paths(spark, small_corpus, index_dir):
     """Metadata-filtered search (allowed doc set, GLOBAL scoring stats)
     is exact on the serving, per-query-distributed, and sharded paths:
