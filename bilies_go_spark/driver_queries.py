@@ -926,6 +926,190 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- significant_terms --------------------------------------------------------
+# ES significant_terms over conjunctive match sets, JLH heuristic:
+# score = (fg% - bg%) * fg% / bg% when fg% > bg%, else 0; foreground =
+# docs matching ALL query terms, background = the index dictionary.
+# Engine plan: match_ids + id-pruned doc re-analysis + Spark-side stats
+# join; oracle = the same counting in SQL.
+
+SIGTERMS_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "table scan"),
+    (2, "the"),
+    (3, "zzqq"),
+]
+SIGTERMS_TOP = 15
+
+
+def sigterms_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SIGTERMS_QUERIES],
+            "text": [q[1] for q in SIGTERMS_QUERIES],
+        }
+    )
+
+
+def search_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return eng.significant_terms(
+        sigterms_queries_pdf(), docs, n_top=SIGTERMS_TOP, round_digits=ROUND_DIGITS
+    )
+
+
+def search_significant_terms_oracle_sql() -> str:
+    qrows = []
+    for qid, text in SIGTERMS_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, p.doc_id
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN qn ON qn.query_id = q.query_id
+  GROUP BY 1, 2
+  HAVING count(*) = max(qn.n_terms)
+),
+fgt AS (SELECT query_id, count(*) AS fg_total FROM m GROUP BY 1),
+fg AS (
+  SELECT m.query_id, p.term, count(DISTINCT p.doc_id) AS fg_count
+  FROM m JOIN post p ON p.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT fg.query_id, fg.term, fg.fg_count, ts.df AS bg_count,
+         CASE
+           WHEN fg.fg_count * 1.0 / fgt.fg_total > ts.df * 1.0 / st.n_docs
+           THEN (fg.fg_count * 1.0 / fgt.fg_total - ts.df * 1.0 / st.n_docs)
+                * (fg.fg_count * 1.0 / fgt.fg_total) / (ts.df * 1.0 / st.n_docs)
+           ELSE 0.0
+         END AS score
+  FROM fg
+  JOIN ts ON ts.term = fg.term
+  JOIN fgt ON fgt.query_id = fg.query_id
+  CROSS JOIN st
+),
+r AS (
+  SELECT query_id, term, fg_count, bg_count, {duck_round('score')} AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, term ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, term, fg_count, bg_count, score
+FROM r WHERE rank <= {SIGTERMS_TOP}
+"""
+
+
+# --- boosting query -----------------------------------------------------------
+# ES `boosting`: positive hits rank normally; hits also matching the
+# negative query (OR over its terms) are demoted by NEGATIVE_BOOST
+# instead of excluded.  Oracle = EXISTS over negative postings folded
+# into a CASE multiplier.
+
+BOOSTING_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "table", "scan", 10),          # demote scan-docs
+    (1, "hash join", "the", 10),       # stopword negative: demotes most
+    (2, "the scan", "", 10),           # empty negative: plain ranking
+    (3, "table", "zzqq", 10),          # absent negative term
+]
+NEGATIVE_BOOST = 0.3
+
+
+def boosting_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in BOOSTING_QUERIES],
+            "text": [q[1] for q in BOOSTING_QUERIES],
+            "neg_text": [q[2] for q in BOOSTING_QUERIES],
+            "k": [q[3] for q in BOOSTING_QUERIES],
+        }
+    )
+
+
+def bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    return eng.topk_boosting(
+        boosting_queries_pdf(), negative_boost=NEGATIVE_BOOST, round_digits=ROUND_DIGITS
+    )
+
+
+def bm25_boosting_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows, nrows = [], []
+    for qid, text, neg, k in BOOSTING_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+        for term in sorted(set(tokenize_py(neg))):
+            nrows.append(f"({qid}, '{term}')")
+    values = ", ".join(qrows)
+    nvalues = ", ".join(nrows) if nrows else "(-1, 'zzqq_none')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+nq(query_id, term) AS (VALUES {nvalues}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+bo AS (
+  SELECT sc.query_id, sc.doc_id, sc.k,
+         {duck_round(
+             f"sc.score * CASE WHEN EXISTS ("
+             f"SELECT 1 FROM nq JOIN post np ON np.term = nq.term "
+             f"WHERE nq.query_id = sc.query_id AND np.doc_id = sc.doc_id"
+             f") THEN {NEGATIVE_BOOST!r} ELSE 1.0 END"
+         )} AS score
+  FROM sc
+),
+r AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM bo
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -3011,6 +3195,14 @@ def registry() -> dict[str, tuple]:
         # ES function_score (gauss decay x field_value_factor, multiply
         # modes): modified-score ranking over the full match set
         "bm25_topk_fscore": (bm25_function_score, bm25_function_score_oracle_sql()),
+        # ES significant_terms (JLH): foreground match-set df vs
+        # background dictionary df, top-N per query
+        "search_significant_terms": (
+            search_significant_terms,
+            search_significant_terms_oracle_sql(),
+        ),
+        # ES boosting query: negative matches demoted x0.3, not excluded
+        "bm25_topk_boosting": (bm25_boosting, bm25_boosting_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

@@ -4097,6 +4097,67 @@ class QueryEngine:
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=MATCH_SCHEMA)
 
+    def significant_terms(
+        self,
+        queries: pd.DataFrame,
+        docs_df: DataFrame,
+        n_top: int = 15,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """ES ``significant_terms`` aggregation over conjunctive match
+        sets, JLH heuristic: for each query, terms whose foreground
+        document frequency (within matching docs) is significantly
+        above their background frequency (the whole index) —
+        ``score = (fg% - bg%) * fg%/bg%`` when fg% > bg%, else 0.
+        Top ``n_top`` terms per query by (score desc, term asc).
+
+        Plan: :meth:`match_ids` gives the foreground (the index, not a
+        corpus scan); the matched ids prune the docs scan for
+        re-analysis (`queries` are tiny vs the corpus, so AQE
+        broadcasts the match side); foreground df is a distinct-count
+        on (query_id, term, doc_id); background df joins Spark-side
+        against the term-stats roots (base + tiers + delete deltas,
+        summed — tombstones net out), shuffled on term like any
+        dictionary join.  Nothing collects: at 10^12 docs the only
+        full-table touch is the stats dictionary, which is vocabulary-
+        sized, and the foreground side is match-set-sized."""
+        from functools import reduce
+
+        from bilies_go_spark.functions.tokenize import tokenize_col
+
+        matches = self.match_ids(queries)
+        fg_tot = matches.groupBy("query_id").agg(F.count("*").alias("fg_total"))
+        toks = (
+            matches.join(docs_df, "doc_id")
+            .select("query_id", "doc_id", F.explode(tokenize_col("text")).alias("term"))
+            .distinct()
+        )
+        fg = toks.groupBy("query_id", "term").agg(
+            F.count("*").alias("fg_count")
+        )
+        bg = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(p).select("term", "df")
+                for p in self._ts_roots()
+            ],
+        ).groupBy("term").agg(F.sum("df").alias("bg_count"))
+        j = fg.join(bg, "term").join(F.broadcast(fg_tot), "query_id")
+        fg_pct = F.col("fg_count") / F.col("fg_total")
+        bg_pct = F.col("bg_count") / F.lit(float(self.n_docs))
+        score = F.when(
+            fg_pct > bg_pct, (fg_pct - bg_pct) * fg_pct / bg_pct
+        ).otherwise(F.lit(0.0))
+        j = j.withColumn("score", score)
+        if round_digits is not None:
+            j = j.withColumn("score", F.round("score", round_digits))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_top)
+            .select("query_id", "rank", "term", "fg_count", "bg_count", "score")
+        )
+
     # -- prefix (wildcard) expansion -------------------------------------------
 
     @staticmethod
@@ -4382,6 +4443,63 @@ class QueryEngine:
         j = scored.join(factors_df, "doc_id", "left").withColumn(
             "score",
             F.col("score") * F.coalesce(F.col("factor"), F.lit(1.0)),
+        )
+        if round_digits is not None:
+            j = j.withColumn("score", F.round("score", round_digits))
+        w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kdf = F.broadcast(
+            self.spark.createDataFrame(
+                queries[["query_id", "k"]], schema="query_id bigint, k int"
+            )
+        )
+        return (
+            j.join(kdf, "query_id")
+            .withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def topk_boosting(
+        self,
+        queries: pd.DataFrame,
+        negative_boost: float = 0.5,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """The ES ``boosting`` query: hits of the positive query rank
+        normally, but any hit ALSO matching the negative query (OR over
+        its terms) is demoted — score × ``negative_boost`` — instead of
+        excluded (the difference from MUST_NOT).  ``queries`` carries
+        ``text`` (positive) and ``neg_text`` (negative) columns.
+
+        Plan: the positive side scores its full match set through the
+        standard kernel (k lifted — demotion re-orders, so the cut must
+        happen after); the negative OR match set comes from the same
+        kernel on the negative terms (score > 0 ⇔ contains any term),
+        ids only; a left join marks demoted docs and one window ranks.
+        Both sides are index scans — no corpus touch; the join is
+        match-set × match-set, AQE-broadcast when selective."""
+        big = queries[["query_id", "text", "k"]].copy()
+        big["k"] = int(self.n_docs)
+        pos = self.topk_distributed(big, n_shards=1).drop("rank")
+        negq = queries[["query_id", "neg_text", "k"]].rename(
+            columns={"neg_text": "text"}
+        )
+        negq = negq[negq["text"].str.strip().astype(bool)].copy()
+        negq["k"] = int(self.n_docs)
+        if len(negq):
+            neg = (
+                self.topk_distributed(negq, n_shards=1)
+                .select("query_id", "doc_id")
+                .withColumn("_neg", F.lit(True))
+            )
+        else:
+            neg = self.spark.createDataFrame(
+                [], schema="query_id bigint, doc_id bigint, _neg boolean"
+            )
+        j = pos.join(neg, ["query_id", "doc_id"], "left").withColumn(
+            "score",
+            F.when(F.col("_neg"), F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score")),
         )
         if round_digits is not None:
             j = j.withColumn("score", F.round("score", round_digits))
