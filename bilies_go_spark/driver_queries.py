@@ -1110,6 +1110,180 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- term suggester (did-you-mean) --------------------------------------------
+# Per misspelled token: dictionary terms within ES AUTO edit distance,
+# ranked by (distance asc, df desc, term asc), input token excluded.
+# Engine = SymSpell variant-dictionary candidates + exact verify;
+# oracle = DuckDB levenshtein over the dictionary CTE.
+
+SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "park"),     # -> part/spark: equal df, term asc breaks the tie
+    (1, "low"),      # -> row/slow: df desc orders
+    (2, "scam"),     # -> scan
+    (3, "grouper"),  # len 7 -> dist 2 -> group
+    (4, "joim"),     # -> join
+    (5, "zz"),       # len 2 -> dist 0 -> no suggestions
+]
+SUGGEST_TOP = 5
+
+
+def suggest_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SUGGEST_QUERIES],
+            "token": [q[1] for q in SUGGEST_QUERIES],
+        }
+    )
+
+
+def search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    return QueryEngine(spark, idx).suggest_terms(
+        suggest_queries_pdf(), n_top=SUGGEST_TOP
+    )
+
+
+def search_suggest_oracle_sql() -> str:
+    from bilies_go_spark.operators.query import _auto_fuzzy_dist
+
+    qrows = []
+    for qid, token in SUGGEST_QUERIES:
+        qrows.append(f"({qid}, '{token}', {_auto_fuzzy_dist(token)})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, token, dist) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, q.token, ts.term AS suggestion, ts.df,
+         levenshtein(q.token, ts.term) AS dist
+  FROM q JOIN ts
+    ON levenshtein(q.token, ts.term) <= q.dist AND ts.term <> q.token
+),
+r AS (
+  SELECT query_id, token, suggestion, dist, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, df DESC, suggestion ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, token, rank, suggestion, dist, df
+FROM r WHERE rank <= {SUGGEST_TOP}
+"""
+
+
+# --- metric + histogram aggregations over match sets --------------------------
+# The ES aggs surface on search hits: a stats aggregation (count, min,
+# max, sum, avg + exact interpolated median) and a numeric histogram
+# (fixed-interval buckets) over the `n_chars` metadata of conjunctive
+# match sets.  Engine = match_ids + fact join + groupBy, the same
+# shape as search_facets; the match side broadcasts under AQE when
+# selective, and nothing collects.
+
+AGG_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "table"),
+    (2, "the"),
+    (3, "zzqq"),
+]
+HIST_INTERVAL = 100
+
+
+def agg_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in AGG_QUERIES],
+            "text": [q[1] for q in AGG_QUERIES],
+        }
+    )
+
+
+def _agg_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    matches = QueryEngine(spark, idx).match_ids(agg_queries_pdf())
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    return matches.join(docs, "doc_id")
+
+
+def search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _agg_matches(spark, sf_dir)
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), ROUND_DIGITS).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), ROUND_DIGITS).alias("p50_chars"),
+    )
+
+
+def search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _agg_matches(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / HIST_INTERVAL) * HIST_INTERVAL).alias("bucket")
+    return j.groupBy("query_id", bucket).agg(F.count("*").alias("n_docs"))
+
+
+def _agg_match_cte() -> str:
+    qrows = []
+    for qid, text in AGG_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, p.doc_id
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN qn ON qn.query_id = q.query_id
+  GROUP BY 1, 2
+  HAVING count(*) = max(qn.n_terms)
+),
+j AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON d.doc_id = m.doc_id)
+"""
+
+
+def search_stats_agg_oracle_sql() -> str:
+    return (
+        _agg_match_cte()
+        + f"""
+SELECT query_id, count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {duck_round('avg(n_chars)')} AS avg_chars,
+       {duck_round('quantile_cont(n_chars, 0.5)')} AS p50_chars
+FROM j GROUP BY 1
+"""
+    )
+
+
+def search_histogram_oracle_sql() -> str:
+    return (
+        _agg_match_cte()
+        + f"""
+SELECT query_id,
+       CAST(floor(n_chars / {HIST_INTERVAL}) AS BIGINT) * {HIST_INTERVAL} AS bucket,
+       count(*) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+    )
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -3203,6 +3377,15 @@ def registry() -> dict[str, tuple]:
         ),
         # ES boosting query: negative matches demoted x0.3, not excluded
         "bm25_topk_boosting": (bm25_boosting, bm25_boosting_oracle_sql()),
+        # ES term suggester: AUTO-distance dictionary neighbors ranked
+        # by (distance, df, term); SymSpell candidates + exact verify
+        "search_suggest": (search_suggest, search_suggest_oracle_sql()),
+        # ES stats aggregation over match sets (count/min/max/sum/avg +
+        # exact interpolated median of n_chars)
+        "search_stats_agg": (search_stats_agg, search_stats_agg_oracle_sql()),
+        # ES histogram aggregation: fixed-interval n_chars buckets over
+        # match sets
+        "search_histogram": (search_histogram, search_histogram_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

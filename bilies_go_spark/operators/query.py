@@ -4158,6 +4158,47 @@ class QueryEngine:
             .select("query_id", "rank", "term", "fg_count", "bg_count", "score")
         )
 
+    def suggest_terms(self, queries: pd.DataFrame, n_top: int = 5) -> DataFrame:
+        """ES term suggester (did-you-mean): per input token, the top
+        dictionary terms within ES ``AUTO`` edit distance (0/1/2 by
+        token length, :func:`_auto_fuzzy_dist`), ranked by (distance
+        asc, df desc, term asc) — the ES default ``sort: score`` order
+        for the term suggester, where score is edit proximity and
+        frequency breaks ties.  The input token itself is never
+        suggested.  ``queries`` = (query_id, token).
+
+        Candidates come from the same SymSpell deletion-variant
+        dictionary as fuzzy search (O(token variants) pruned pyarrow
+        lookup, no vocabulary scan, no Spark job); the exact distance
+        and dictionary df order the verified few.  At 10^12 docs the
+        dictionary is vocabulary-sized and the variant table is its
+        ~50× explode — both partition-pruned point lookups here."""
+        toks = sorted(set(queries["token"]))
+        exp = self.expand_fuzzy(toks, auto=True)
+        cands = sorted({c for v in exp.values() for c in v})
+        dfs = self.term_dfs(cands)
+        rows = []
+        for r in queries.itertuples(index=False):
+            cs = [c for c in exp.get(r.token, []) if c != r.token]
+            ranked = sorted(
+                (_lev_exact(r.token, c), -int(dfs.get(c, 0)), c) for c in cs
+            )
+            for rank, (d, ndf, c) in enumerate(ranked[:n_top], 1):
+                rows.append((int(r.query_id), r.token, rank, c, int(d), -ndf))
+        schema = (
+            "query_id bigint, token string, rank int, suggestion string, "
+            "dist int, df bigint"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=["query_id", "token", "rank", "suggestion", "dist", "df"],
+            ),
+            schema=schema,
+        )
+
     # -- prefix (wildcard) expansion -------------------------------------------
 
     @staticmethod
@@ -4650,7 +4691,7 @@ class QueryEngine:
         return out
 
     def expand_fuzzy(
-        self, toks: list[str], auto: bool = False
+        self, toks: list[str], auto: bool = False, dist: int | None = None
     ) -> dict[str, list[str]]:
         """Dictionary terms within edit distance of each token, via the
         PRE-BUILT SymSpell deletion-variant dictionary
@@ -4670,13 +4711,14 @@ class QueryEngine:
         if not toks:
             return {}
         dists = {
-            t: (_auto_fuzzy_dist(t) if auto else 1) for t in set(toks)
+            t: (dist if dist is not None else (_auto_fuzzy_dist(t) if auto else 1))
+            for t in set(toks)
         }
         tv_roots = self._tv_roots()
         if not tv_roots or (
             max(dists.values()) > 1 and not self._tv_depth2(tv_roots)
         ):
-            return self._expand_fuzzy_scan(toks, auto=auto)
+            return self._expand_fuzzy_scan(toks, auto=auto, dist=dist)
         import pyarrow.dataset as pads
 
         from bilies_go_spark.functions.xxhash import term_bucket_py
@@ -4700,7 +4742,7 @@ class QueryEngine:
         return {t: sorted(v) for t, v in out.items()}
 
     def _expand_fuzzy_scan(
-        self, toks: list[str], auto: bool = False
+        self, toks: list[str], auto: bool = False, dist: int | None = None
     ) -> dict[str, list[str]]:
         """Legacy expansion for variant-table-less indexes: the same
         SymSpell join as DataFrame ops — the vocabulary side streams
@@ -4714,7 +4756,10 @@ class QueryEngine:
             DELETION_VARIANTS_EXPR,
         )
 
-        dists = {t: (_auto_fuzzy_dist(t) if auto else 1) for t in set(toks)}
+        dists = {
+            t: (dist if dist is not None else (_auto_fuzzy_dist(t) if auto else 1))
+            for t in set(toks)
+        }
         qrows = [
             (t, v, dists[t])
             for t in sorted(set(toks))
@@ -4733,7 +4778,8 @@ class QueryEngine:
                 for p in self._ts_roots()
             ],
         ).distinct()
-        vexpr = DELETION_VARIANTS2_EXPR if auto else DELETION_VARIANTS_EXPR
+        deep = auto or (dist is not None and dist > 1)
+        vexpr = DELETION_VARIANTS2_EXPR if deep else DELETION_VARIANTS_EXPR
         cand = (
             vocab.select("term", F.explode(F.expr(vexpr)).alias("variant"))
             .join(F.broadcast(qv), "variant")
@@ -5744,6 +5790,23 @@ def _lev_bounded(a: str, b: str, k: int) -> bool:
             return False
         prev = cur
     return prev[la] <= k
+
+
+def _lev_exact(a: str, b: str) -> int:
+    """Exact Levenshtein distance — classic O(|a||b|) DP.  Used to
+    ORDER the handful of verified suggester candidates (the bounded
+    check only answers <= k); tokens are short, candidate sets tiny."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        bj = b[j - 1]
+        for i in range(1, la + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (a[i - 1] != bj))
+        prev = cur
+    return prev[la]
 
 
 def _tokenize_terms(text: str) -> set[str]:
