@@ -1284,6 +1284,135 @@ FROM j GROUP BY 1, 2
     )
 
 
+# --- rescore ------------------------------------------------------------------
+# ES rescore (score_mode total): the base disjunctive query's top
+# WINDOW hits (rounded-score order, doc_id tiebreak) re-score as
+# query_weight*base + rescore_weight*phrase_bm25 for hits containing
+# the exact rescore phrase; the window then re-ranks and k <= WINDOW
+# hits return.  The expensive positional check touches WINDOW docs per
+# query, never the match set.
+
+RESCORE_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "hash join", "hash join", 10),    # phrase hits jump the window
+    (1, "table scan", "table scan", 10),
+    (2, "the scan", "slow scan", 10),     # rescore phrase != base text
+    (3, "table", "zzqq missing", 10),     # absent phrase: base order
+]
+RESCORE_WINDOW = 20
+RESCORE_QW = 1.0
+RESCORE_RW = 2.0
+
+
+def rescore_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in RESCORE_QUERIES],
+            "text": [q[1] for q in RESCORE_QUERIES],
+            "phrase": [q[2] for q in RESCORE_QUERIES],
+            "k": [q[3] for q in RESCORE_QUERIES],
+        }
+    )
+
+
+def bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    return eng.topk_rescore(
+        rescore_queries_pdf(),
+        window=RESCORE_WINDOW,
+        query_weight=RESCORE_QW,
+        rescore_weight=RESCORE_RW,
+        round_digits=ROUND_DIGITS,
+    )
+
+
+def bm25_rescore_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows, prows, ptrows = [], [], []
+    for qid, text, phrase, k in RESCORE_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+        ptoks = tokenize_py(phrase)
+        if ptoks:
+            prows.append(f"({qid}, '{' '.join(ptoks)}')")
+            for t in sorted(set(ptoks)):
+                ptrows.append(f"({qid}, '{t}')")
+    values = ", ".join(qrows)
+    pvalues = ", ".join(prows)
+    ptvalues = ", ".join(ptrows)
+    bm25 = (
+        f"ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5)) "
+        f"* (p.tf * ({k1} + 1.0)) "
+        f"/ (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tstr AS (
+  SELECT doc_id, ' ' || array_to_string({duck_tokens()}, ' ') || ' ' AS s
+  FROM documents
+),
+q(query_id, term, k) AS (VALUES {values}),
+pq(query_id, phrase) AS (VALUES {pvalues}),
+pt(query_id, term) AS (VALUES {ptvalues}),
+bs AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k, sum({bm25}) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS wr
+  FROM bs
+),
+pm AS (
+  SELECT pq.query_id, d.doc_id
+  FROM pq JOIN tstr d ON strpos(d.s, ' ' || pq.phrase || ' ') > 0
+),
+ps AS (
+  SELECT pm.query_id, pm.doc_id, sum({bm25}) AS pscore
+  FROM pm
+  JOIN pt ON pt.query_id = pm.query_id
+  JOIN post p ON p.term = pt.term AND p.doc_id = pm.doc_id
+  JOIN ts ON ts.term = pt.term
+  JOIN dl ON dl.doc_id = pm.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+comb AS (
+  SELECT w.query_id, w.doc_id, w.k,
+         {duck_round(
+             f'{RESCORE_QW!r} * w.score '
+             f'+ {RESCORE_RW!r} * coalesce(ps.pscore, 0.0)'
+         )} AS score
+  FROM win w
+  LEFT JOIN ps ON ps.query_id = w.query_id AND ps.doc_id = w.doc_id
+  WHERE w.wr <= {RESCORE_WINDOW}
+),
+r AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -3386,6 +3515,9 @@ def registry() -> dict[str, tuple]:
         # ES histogram aggregation: fixed-interval n_chars buckets over
         # match sets
         "search_histogram": (search_histogram, search_histogram_oracle_sql()),
+        # ES rescore: window-bounded phrase re-scoring over the base
+        # top-W, score_mode total
+        "bm25_topk_rescore": (bm25_rescore, bm25_rescore_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

@@ -4557,6 +4557,74 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def topk_rescore(
+        self,
+        queries: pd.DataFrame,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """The ES ``rescore`` API: the base query's top ``window`` hits
+        re-score as ``query_weight × base + rescore_weight × phrase``
+        (``score_mode: total``), where the phrase score is the BM25 sum
+        over the rescore phrase's terms for docs containing the exact
+        phrase — hits in the window that don't match the phrase keep
+        the weighted base score.  ``queries`` = (query_id, text,
+        phrase, k); k ≤ window.
+
+        Plan: the cheap disjunctive kernel retrieves the window (this
+        is the point of rescore — the expensive positional check runs
+        on ``window`` docs per query, not the match set); the phrase
+        side reuses :meth:`topk_phrase` uncut and joins back on
+        (query_id, doc_id).  The window cut uses the rounded-score
+        ordering (doc_id tiebreak) so a rounded-rank oracle can state
+        it exactly.  At 10^12 docs the window is constant-sized per
+        query, so rescore cost is independent of corpus size."""
+        rd = round_digits if round_digits is not None else 6
+        big = queries[["query_id", "text", "k"]].copy()
+        big["k"] = int(window)
+        base = self.topk_distributed(big, n_shards=1).drop("rank")
+        w_cut = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", rd)), F.asc("doc_id")
+        )
+        win = (
+            base.withColumn("_wr", F.row_number().over(w_cut))
+            .filter(F.col("_wr") <= int(window))
+            .drop("_wr")
+        )
+        phq = queries[["query_id", "phrase", "k"]].rename(columns={"phrase": "text"})
+        phq = phq[phq["text"].str.strip().astype(bool)].copy()
+        phq["k"] = int(self.n_docs)
+        if len(phq):
+            phr = (
+                self.topk_phrase(phq)
+                .select("query_id", "doc_id", F.col("score").alias("_psc"))
+            )
+        else:
+            phr = self.spark.createDataFrame(
+                [], schema="query_id bigint, doc_id bigint, _psc double"
+            )
+        j = win.join(phr, ["query_id", "doc_id"], "left").withColumn(
+            "score",
+            F.lit(float(query_weight)) * F.col("score")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("_psc"), F.lit(0.0)),
+        )
+        if round_digits is not None:
+            j = j.withColumn("score", F.round("score", round_digits))
+        w_q = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        kdf = F.broadcast(
+            self.spark.createDataFrame(
+                queries[["query_id", "k"]], schema="query_id bigint, k int"
+            )
+        )
+        return (
+            j.join(kdf, "query_id")
+            .withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     @staticmethod
     def _parse_boolean_query(text: str) -> list[tuple[str, bool]]:
         """(token, is_negated) pairs: a leading ``-`` (the Lucene
