@@ -576,6 +576,7 @@ def _span_shard(
     qid = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
     slop = int(pdf["slop"].iloc[0])
+    first = int(pdf["first"].iloc[0]) if "first" in pdf.columns else 0
     cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
     dec = _decode_pos_shard(pdf, lo, hi, n_docs, deleted)
     if dec is None:
@@ -587,7 +588,9 @@ def _span_shard(
         kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
         kt.sort()
         keys_by_term[t] = kt
-    matched = _verify_span_ordered([keys_by_term[t] for t in cseq], slop)
+    matched = _verify_span_ordered(
+        _first_mask_keys([keys_by_term[t] for t in cseq], first), slop
+    )
     if matched.size == 0:
         return empty
     decoded = {t: quads[t][:3] for t in terms}
@@ -1430,6 +1433,18 @@ def phrase_query_kernel(
     )
 
 
+def _first_mask_keys(keys_list: "list[np.ndarray]", first: int) -> "list[np.ndarray]":
+    """Apply the ``span_first`` end-limit — the Lucene ``end`` param:
+    the whole match must lie within the doc's first ``first`` tokens,
+    i.e. every occupied (0-based) position < ``first`` (span end
+    exclusive ≤ ``first``; chain positions strictly increase, so
+    bounding every clause equals bounding the last).  ``first <= 0``
+    means unlimited.  The boolean compare preserves sort order."""
+    if first <= 0:
+        return keys_list
+    return [kt[(kt & PHRASE_POS_MASK) < first] for kt in keys_list]
+
+
 def _verify_span_ordered(keys_list: "list[np.ndarray]", slop: int) -> np.ndarray:
     """Docs containing an IN-ORDER occurrence chain of the clause terms
     (Lucene ``span_near(in_order=true)``): positions p1 < p2 < ... < pn,
@@ -1501,6 +1516,7 @@ def span_query_kernel(
     qid = int(pdf["query_id"].iloc[0])
     k = int(pdf["k"].iloc[0])
     slop = int(pdf["slop"].iloc[0])
+    first = int(pdf["first"].iloc[0]) if "first" in pdf.columns else 0
     cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
     n_expected = int(pdf["n_terms"].iloc[0])
     stats = stats if stats is not None else KernelStats()
@@ -1533,7 +1549,9 @@ def span_query_kernel(
         kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
         kt.sort()
         keys_by_term[t] = kt
-    matched = _verify_span_ordered([keys_by_term[t] for t in cseq], slop)
+    matched = _verify_span_ordered(
+        _first_mask_keys([keys_by_term[t] for t in cseq], first), slop
+    )
     if matched.size == 0:
         return empty
     decoded = {t: quads[t][:3] for t in terms}
@@ -3207,8 +3225,12 @@ class QueryEngine:
                 matched = _verify_phrase_keys(keys_by_term, slot_list)
             elif kind == "span":
                 cseq = [str(t) for t in json.loads(qrows["cseq"].iloc[0])]
+                first = (
+                    int(qrows["first"].iloc[0]) if "first" in qrows.columns else 0
+                )
                 matched = _verify_span_ordered(
-                    [keys_by_term[t] for t in cseq], int(qrows["slop"].iloc[0])
+                    _first_mask_keys([keys_by_term[t] for t in cseq], first),
+                    int(qrows["slop"].iloc[0]),
                 )
             else:
                 # conjunctive doc-candidate restriction (kernel parity)
@@ -3644,21 +3666,24 @@ class QueryEngine:
                 "span queries need an index built with BuildConfig(positions=True)"
             )
         has_slop = "slop" in queries.columns
+        has_first = "first" in queries.columns
         rows = []
         for r in queries.itertuples(index=False):
             cseq = tokenize_py(r.text)
             if not cseq:
                 continue
             slop = int(getattr(r, "slop", 0) or 0) if has_slop else 0
+            first = int(getattr(r, "first", 0) or 0) if has_first else 0
             spec = json.dumps(cseq)
             for t in sorted(set(cseq)):
                 rows.append(
-                    (int(r.query_id), t, int(r.k), len(set(cseq)), slop, spec)
+                    (int(r.query_id), t, int(r.k), len(set(cseq)), slop, spec, first)
                 )
         if not rows:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         qt_pdf = pd.DataFrame(
-            rows, columns=["query_id", "term", "k", "n_terms", "slop", "cseq"]
+            rows,
+            columns=["query_id", "term", "k", "n_terms", "slop", "cseq", "first"],
         )
         if n_shards is None:
             # heavy queries route off the driver path in every mode,
@@ -3674,7 +3699,7 @@ class QueryEngine:
         qt = self.spark.createDataFrame(
             qt_pdf,
             schema="query_id bigint, term string, k int, n_terms int, "
-            "slop int, cseq string",
+            "slop int, cseq string, first int",
         )
         terms, buckets = self._terms_and_buckets(queries)
         segs = self._segments_df(terms, buckets)
@@ -3695,6 +3720,25 @@ class QueryEngine:
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
+    def topk_span_first(
+        self, queries: pd.DataFrame, mode: str = "distributed"
+    ) -> DataFrame:
+        """Lucene ``span_first``: the ordered span (term sequence within
+        ``slop``) must lie entirely within the doc's first ``first``
+        tokens — exclusive span end ≤ ``first``, exactly the Lucene
+        ``end`` parameter over 0-based positions.  A single-token text
+        makes it the classic "term near the start of the document"
+        query.
+        Thin wrapper: :meth:`topk_span_near` with the per-query
+        ``first`` column, which every span path (one-task kernel,
+        driver-local, doc-range-sharded) applies as a position mask on
+        the occurrence keys before chain verification — the mask is a
+        branch-free compare on the composite key array, so the cost is
+        below the chain DP it precedes."""
+        if "first" not in queries.columns:
+            raise ValueError("span_first queries need a 'first' column")
+        return self.topk_span_near(queries, mode=mode)
+
     def topk_span_sharded(
         self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
     ) -> DataFrame:
@@ -3704,7 +3748,7 @@ class QueryEngine:
         qt = self.spark.createDataFrame(
             qt_pdf,
             schema="query_id bigint, term string, k int, n_terms int, "
-            "slop int, cseq string",
+            "slop int, cseq string, first int",
         )
         terms, buckets = self._terms_and_buckets(queries)
         segs = self._segments_df(terms, buckets)
@@ -3714,14 +3758,14 @@ class QueryEngine:
         bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
         slice_schema = (
             "query_id bigint, k int, n_terms int, slop int, cseq string, "
-            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            "first int, term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
             + ", positions_vb binary"
         )
 
         def slicer(batches):
             for pdf in batches:
                 out = _slice_segments_by_shard_pos(
-                    pdf, bounds, extra_cols=("n_terms", "slop", "cseq")
+                    pdf, bounds, extra_cols=("n_terms", "slop", "cseq", "first")
                 )
                 if out is not None:
                     yield out

@@ -1107,3 +1107,58 @@ def test_span_near_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
         dist[dist["query_id"] == 0].sort_values(key).reset_index(drop=True),
         ph.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_span_first_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
+    """span_first == ordered span restricted to matches whose last
+    position < first (0-based; exclusive span end <= first — Lucene's
+    `end`).  first=0 means unlimited; brute reference enumerates
+    chains independently."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    sfq = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["the", "the of", "water", "zzqx"],
+            "k": [10, 10, 10, 10],
+            "slop": [0, 2, 0, 0],
+            "first": [1, 8, 0, 4],
+        }
+    )
+    toks = {
+        int(r.doc_id): tokenize_py(r.text)
+        for r in corpus_pdf.itertuples(index=False)
+    }
+
+    def matches(t, cseq, slop, first):
+        limited = t[:first] if first > 0 else t
+        # chain must fit inside the first-N prefix entirely
+        return _has_ordered_span(limited, cseq, slop)
+
+    eng = QueryEngine(spark, pos_index_dir)
+    dist = eng.topk_span_first(sfq).toPandas()
+    for q in sfq.itertuples(index=False):
+        cseq = tokenize_py(q.text)
+        exp_docs = sorted(
+            d
+            for d, t in toks.items()
+            if t and matches(t, cseq, int(q.slop), int(q.first))
+        )
+        got_docs = sorted(dist[dist["query_id"] == q.query_id]["doc_id"])
+        full = sorted(
+            d for d, t in toks.items() if t and _has_ordered_span(t, cseq, int(q.slop))
+        )
+        if len(exp_docs) > int(q.k):
+            assert set(got_docs) <= set(exp_docs)
+        else:
+            assert got_docs == exp_docs
+        if q.query_id == 0:
+            # docs STARTING with "the" are a strict subset of docs containing it
+            assert len(exp_docs) < len(full) and len(exp_docs) > 0
+    # local path identical
+    loc = eng.topk_span_first(sfq, mode="local").toPandas()
+    pd.testing.assert_frame_equal(
+        loc.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        dist.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="first"):
+        eng.topk_span_first(sfq.drop(columns=["first"]))
