@@ -1413,6 +1413,107 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- terms agg + top_hits -----------------------------------------------------
+# ES terms aggregation with a top_hits sub-agg: top N_BUCKETS buckets
+# of the match set by doc count (grp asc on ties), top N_HITS hits
+# inside each (rounded score desc, doc_id asc).
+
+TOPHITS_QUERIES: list[tuple[int, str]] = [
+    (0, "table"),
+    (1, "hash join"),
+    (2, "the"),
+    (3, "zzqq"),
+]
+TOPHITS_BUCKETS = 4
+TOPHITS_HITS = 3
+
+
+def tophits_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in TOPHITS_QUERIES],
+            "text": [q[1] for q in TOPHITS_QUERIES],
+            "k": [10 for _ in TOPHITS_QUERIES],
+        }
+    )
+
+
+def search_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    groups = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.col(COLLAPSE_COL).alias("grp")
+    )
+    return eng.topk_top_hits(
+        tophits_queries_pdf(),
+        groups,
+        n_buckets=TOPHITS_BUCKETS,
+        n_hits=TOPHITS_HITS,
+        round_digits=ROUND_DIGITS,
+    )
+
+
+def search_top_hits_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text in TOPHITS_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}')")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         {duck_round(f'''sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         )''')} AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT sc.query_id, sc.doc_id, sc.score, d.{COLLAPSE_COL} AS grp
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+cnt AS (
+  SELECT query_id, grp, count(*) AS bucket_count FROM g GROUP BY 1, 2
+),
+bkt AS (
+  SELECT query_id, grp, bucket_count,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY bucket_count DESC, grp ASC
+         ) AS bucket_rank
+  FROM cnt
+),
+hits AS (
+  SELECT query_id, grp, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id, grp ORDER BY score DESC, doc_id ASC
+         ) AS hit_rank
+  FROM g
+)
+SELECT h.query_id, b.bucket_rank, h.grp, b.bucket_count, h.hit_rank,
+       h.doc_id, h.score
+FROM hits h
+JOIN bkt b ON b.query_id = h.query_id AND b.grp = h.grp
+WHERE b.bucket_rank <= {TOPHITS_BUCKETS} AND h.hit_rank <= {TOPHITS_HITS}
+"""
+
+
 # --- more-like-this (query by document) ---------------------------------------
 # Lucene MoreLikeThis reborn: select the source doc's top-N terms by
 # tf * ln(n_docs/df) (ties by ascending term) from the term dictionary,
@@ -3628,6 +3729,8 @@ def registry() -> dict[str, tuple]:
         # ES rescore: window-bounded phrase re-scoring over the base
         # top-W, score_mode total
         "bm25_topk_rescore": (bm25_rescore, bm25_rescore_oracle_sql()),
+        # ES terms agg + top_hits: top buckets by count, top hits each
+        "search_top_hits": (search_top_hits, search_top_hits_oracle_sql()),
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),

@@ -4496,6 +4496,61 @@ class QueryEngine:
             .select("query_id", "rank", "doc_id", "score", "grp")
         )
 
+    def topk_top_hits(
+        self,
+        queries: pd.DataFrame,
+        groups_df: DataFrame,
+        n_buckets: int = 5,
+        n_hits: int = 3,
+        round_digits: int | None = None,
+    ) -> DataFrame:
+        """The ES ``terms`` aggregation with a ``top_hits`` sub-agg:
+        bucket the match set by a field, keep the top ``n_buckets``
+        buckets by doc count (ties: grp asc — the ES ``_key`` order
+        fallback), and inside each bucket the top ``n_hits`` hits by
+        score (rounded, doc_id tiebreak).  ``groups_df`` =
+        ``(doc_id, grp)``.
+
+        Plan: the full match set scores through the standard kernel
+        (k lifted), the bucket column joins as a fact join, a count
+        window sizes buckets and two row_numbers cut — all JVM-side
+        window work over the match set, nothing collects.  Scale: the
+        same doc-range-sharded merge as :meth:`topk_collapse` applies —
+        per-shard bucket counts sum, per-shard per-bucket top hits
+        merge by the standard top-k argument."""
+        big = queries.copy()
+        big["k"] = int(self.n_docs)
+        scored = self.topk_distributed(big, n_shards=1).drop("rank")
+        if round_digits is not None:
+            scored = scored.withColumn("score", F.round("score", round_digits))
+        j = scored.join(groups_df, "doc_id")
+        w_cnt = Window.partitionBy("query_id", "grp")
+        j = j.withColumn("bucket_count", F.count("*").over(w_cnt))
+        w_hit = Window.partitionBy("query_id", "grp").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        j = j.withColumn("hit_rank", F.row_number().over(w_hit)).filter(
+            F.col("hit_rank") <= n_hits
+        )
+        w_bkt = Window.partitionBy("query_id").orderBy(
+            F.desc("bucket_count"), F.asc("grp")
+        )
+        ranked_buckets = (
+            j.select("query_id", "grp", "bucket_count")
+            .distinct()
+            .withColumn("bucket_rank", F.row_number().over(w_bkt))
+            .filter(F.col("bucket_rank") <= n_buckets)
+        )
+        return j.join(ranked_buckets, ["query_id", "grp", "bucket_count"]).select(
+            "query_id",
+            "bucket_rank",
+            "grp",
+            "bucket_count",
+            "hit_rank",
+            "doc_id",
+            "score",
+        )
+
     def topk_function_score(
         self,
         queries: pd.DataFrame,

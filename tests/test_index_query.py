@@ -512,3 +512,74 @@ def test_explain_contribs_sum_to_score(spark, sf_dir):
     # absent-term query contributes rows only for the present term
     q2 = got[got["query_id"] == 2]
     assert len(q2) > 0 and set(q2["term"]) == {"value"}
+
+
+def test_top_hits_buckets_exact(spark, small_corpus, index_dir):
+    """topk_top_hits == brute: bucket the full match set by grp, keep
+    the top n_buckets buckets by doc count (grp asc on ties), top
+    n_hits hits per bucket (rounded score desc, doc_id asc).  Docs
+    absent from the groups frame drop from the aggregation (inner
+    fact join), pinned by withholding a doc-id stripe."""
+    import pandas as pd
+
+    from bilies_go_spark.operators.bm25 import brute_force_scores
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "text": ["the", "you that", "zzqq"], "k": [4, 3, 5]}
+    )
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    grp_pdf = corpus_pdf[["doc_id"]].copy()
+    grp_pdf = grp_pdf[grp_pdf["doc_id"] % 13 != 0]  # withheld stripe
+    grp_pdf["grp"] = grp_pdf["doc_id"].map(lambda d: f"g{d % 5}")
+    groups = spark.createDataFrame(grp_pdf, schema="doc_id bigint, grp string")
+    n_buckets, n_hits = 3, 2
+
+    got = (
+        QueryEngine(spark, index_dir)
+        .topk_top_hits(queries, groups, n_buckets=n_buckets, n_hits=n_hits,
+                       round_digits=6)
+        .toPandas()
+        .sort_values(["query_id", "bucket_rank", "hit_rank"])
+        .reset_index(drop=True)
+    )
+
+    scores = brute_force_scores(spark, small_corpus, queries).toPandas()
+    scores["score"] = scores["score"].round(6)
+    exp_rows = []
+    for qid in queries["query_id"]:
+        sub = scores[scores.query_id == qid].merge(grp_pdf, on="doc_id")
+        cnt = (
+            sub.groupby("grp").size().reset_index(name="bucket_count")
+            .sort_values(["bucket_count", "grp"], ascending=[False, True])
+            .head(n_buckets)
+            .reset_index(drop=True)
+        )
+        for brank, brow in enumerate(cnt.itertuples(index=False), start=1):
+            hits = (
+                sub[sub["grp"] == brow.grp]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(n_hits)
+            )
+            for hrank, h in enumerate(hits.itertuples(index=False), start=1):
+                exp_rows.append(
+                    (int(qid), brank, brow.grp, int(brow.bucket_count),
+                     hrank, int(h.doc_id), float(h.score))
+                )
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["query_id", "bucket_rank", "grp", "bucket_count",
+                 "hit_rank", "doc_id", "score"],
+    )
+    got["bucket_count"] = got["bucket_count"].astype("int64")
+    exp["bucket_rank"] = exp["bucket_rank"].astype(got["bucket_rank"].dtype)
+    exp["hit_rank"] = exp["hit_rank"].astype(got["hit_rank"].dtype)
+    pd.testing.assert_frame_equal(got, exp)
+    # fixture must exercise the bucket cut (more groups than n_buckets)
+    n_grp = scores[scores.query_id == 0].merge(grp_pdf, on="doc_id")["grp"].nunique()
+    assert n_grp > n_buckets
+    # and the withheld stripe must have matched docs that then dropped
+    withheld = set(
+        scores[scores.query_id == 0]["doc_id"]
+    ) & set(corpus_pdf[corpus_pdf["doc_id"] % 13 == 0]["doc_id"])
+    assert withheld, "fixture must withhold at least one matching doc"
