@@ -439,6 +439,114 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- match_phrase_prefix queries (positional index) ---------------------------
+# ES match_phrase_prefix: the analyzed query's LAST token is a prefix —
+# docs must contain the fixed tokens as a contiguous run immediately
+# followed by a token STARTING WITH the prefix; matches are BM25-scored
+# over the fixed distinct terms (deterministic exact scoring; ES's
+# rewrite-dependent blended expansion idf is a documented divergence).
+# The oracle expresses "fixed run + prefix token" as substring
+# containment with NO trailing space after the prefix — exact in token
+# space because every corpus token is itself a vocabulary term.
+
+MPP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash jo", 10),            # common bigram, prefix of "join"
+    (1, "sort ke", 10),            # prefix of "key"
+    (2, "spark window gr", 10),    # two fixed slots, prefix of "group"
+    (3, "a th", 10),               # hot fixed term, hot prefix ("the")
+    (4, "merge ba", 10),           # prefix of "batch"
+    (5, "dup du", 10),             # term both fixed slot AND expansion
+    (6, "hash zzzq", 10),          # prefix matches no vocab term -> empty
+    (7, "zzzmissing ta", 10),      # fixed term absent -> empty
+]
+
+
+def mpp_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in MPP_QUERIES],
+            "text": [q[1] for q in MPP_QUERIES],
+            "k": [q[2] for q in MPP_QUERIES],
+        }
+    )
+
+
+def bm25_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix top-k on the positional index — must match
+    the pure-SQL prefix-containment oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_match_phrase_prefix(mpp_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            mpp_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_match_phrase_prefix_oracle_sql(
+    k1: float = K1_DEFAULT, b: float = B_DEFAULT
+) -> str:
+    qrows, qtrows = [], []
+    for qid, text, k in MPP_QUERIES:
+        toks = tokenize_py(text)
+        if len(toks) < 2:
+            continue
+        # pattern: ' fixed... prefix' — leading space on every token,
+        # NO trailing space (the final token need only start with it)
+        qrows.append(f"({qid}, '{' '.join(toks)}', {k})")
+        for t in sorted(set(toks[:-1])):  # scoring terms = fixed only
+            qtrows.append(f"({qid}, '{t}')")
+    values = ", ".join(qrows)
+    qt_values = ", ".join(qtrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tstr AS (
+  SELECT doc_id, ' ' || array_to_string({duck_tokens()}, ' ') || ' ' AS s
+  FROM documents
+),
+q(query_id, patt, k) AS (VALUES {values}),
+qt(query_id, term) AS (VALUES {qt_values}),
+m AS (
+  SELECT q.query_id, d.doc_id, q.k
+  FROM q JOIN tstr d ON strpos(d.s, ' ' || q.patt) > 0
+),
+sc AS (
+  SELECT m.query_id, m.doc_id, max(m.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN post p ON p.term = qt.term AND p.doc_id = m.doc_id
+  JOIN ts ON ts.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- proximity queries (positional index) ------------------------------------
 # Docs match when ALL query terms occur within a token window of span
 # <= slop (unordered, minimal covering window); scored like phrase.
@@ -1234,7 +1342,7 @@ def search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id", bucket).agg(F.count("*").alias("n_docs"))
 
 
-def _agg_match_cte() -> str:
+def _agg_match_cte(cols: str = "d.n_chars") -> str:
     qrows = []
     for qid, text in AGG_QUERIES:
         for term in sorted(set(tokenize_py(text))):
@@ -1255,7 +1363,7 @@ m AS (
   GROUP BY 1, 2
   HAVING count(*) = max(qn.n_terms)
 ),
-j AS (SELECT m.query_id, d.n_chars FROM m JOIN documents d ON d.doc_id = m.doc_id)
+j AS (SELECT m.query_id, {cols} FROM m JOIN documents d ON d.doc_id = m.doc_id)
 """
 
 
@@ -1280,6 +1388,109 @@ SELECT query_id,
        CAST(floor(n_chars / {HIST_INTERVAL}) AS BIGINT) * {HIST_INTERVAL} AS bucket,
        count(*) AS n_docs
 FROM j GROUP BY 1, 2
+"""
+    )
+
+
+# ES percentiles aggregation: exact linear-interpolated quantiles over
+# the match set's n_chars (ES defaults to t-digest approximation; the
+# exact twin is the deterministic oracle-able choice, and Spark's
+# `percentile` is an exact distributed implementation — at 10^12 docs
+# swap in percentile_approx, same plan shape).
+PCT_LEVELS = (0.25, 0.50, 0.75, 0.95)
+
+
+def search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _agg_matches(spark, sf_dir)
+    aggs = [
+        F.round(F.expr(f"percentile(n_chars, {p})"), ROUND_DIGITS).alias(
+            f"p{int(p * 100)}_chars"
+        )
+        for p in PCT_LEVELS
+    ]
+    return j.groupBy("query_id").agg(*aggs)
+
+
+def search_percentiles_oracle_sql() -> str:
+    cols = ", ".join(
+        f"{duck_round(f'quantile_cont(n_chars, {p})')} AS p{int(p * 100)}_chars"
+        for p in PCT_LEVELS
+    )
+    return _agg_match_cte() + f"SELECT query_id, {cols} FROM j GROUP BY 1"
+
+
+# ES range aggregation: explicit [from, to) buckets over the match
+# set's n_chars — empty buckets are omitted (ES keeps them; the hash
+# compare needs rows that exist on both sides, and emptiness is
+# query-data dependent either way).
+RANGE_BOUNDS = (0, 200, 400, 800)  # -> [0,200), [200,400), [400,800), [800,inf)
+
+
+def _range_label_expr_spark():
+    c = F.col("n_chars")
+    expr = F.lit(f"{RANGE_BOUNDS[-1]}-*")
+    for lo, hi in zip(reversed(RANGE_BOUNDS[:-1]), reversed(RANGE_BOUNDS[1:])):
+        expr = F.when((c >= lo) & (c < hi), F.lit(f"{lo}-{hi}")).otherwise(expr)
+    return expr.alias("bucket")
+
+
+def search_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _agg_matches(spark, sf_dir)
+    return j.groupBy("query_id", _range_label_expr_spark()).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def search_range_agg_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN '{lo}-{hi}'"
+        for lo, hi in zip(RANGE_BOUNDS[:-1], RANGE_BOUNDS[1:])
+    )
+    return (
+        _agg_match_cte()
+        + f"""
+SELECT query_id,
+       CASE {cases} ELSE '{RANGE_BOUNDS[-1]}-*' END AS bucket,
+       count(*) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+    )
+
+
+# ES cardinality aggregation: distinct count of a keyword field
+# (`source`) over the match set.  The gated entry is EXACT (DuckDB
+# twin: count(DISTINCT source)); the 10^12-doc serving path is Spark's
+# HLL++ `approx_count_distinct` on the identical plan — pinned within
+# relative error in tests/test_index_query.py, never hash-gated
+# (sketches are seed-dependent).
+
+
+def _agg_matches_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    matches = QueryEngine(spark, idx).match_ids(agg_queries_pdf())
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "source"
+    )
+    return matches.join(docs, "doc_id")
+
+
+def search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _agg_matches_src(spark, sf_dir)
+    return j.groupBy("query_id").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def search_cardinality_oracle_sql() -> str:
+    return (
+        _agg_match_cte(cols="d.source")
+        + """
+SELECT query_id, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+FROM j GROUP BY 1
 """
     )
 
@@ -3697,6 +3908,12 @@ def registry() -> dict[str, tuple]:
         # unordered within-slop proximity on the positional index;
         # oracle = per-term position self-joins with span <= slop
         "bm25_topk_proximity": (bm25_proximity, bm25_proximity_oracle_sql()),
+        # ES match_phrase_prefix: fixed run + prefix-expanded last slot;
+        # oracle = substring containment with no trailing space
+        "bm25_topk_phrase_prefix": (
+            bm25_match_phrase_prefix,
+            bm25_match_phrase_prefix_oracle_sql(),
+        ),
         # trailing-* prefix expansion against the term dictionary;
         # oracle = LIKE-expansion over the same stats CTEs
         "bm25_topk_prefix": (bm25_prefix, bm25_prefix_oracle_sql()),
@@ -3726,6 +3943,14 @@ def registry() -> dict[str, tuple]:
         # ES histogram aggregation: fixed-interval n_chars buckets over
         # match sets
         "search_histogram": (search_histogram, search_histogram_oracle_sql()),
+        # ES percentiles aggregation (exact interpolated quantiles;
+        # percentile_approx is the documented 10^12-doc swap-in)
+        "search_percentiles": (search_percentiles, search_percentiles_oracle_sql()),
+        # ES range aggregation: explicit [from, to) n_chars buckets
+        "search_range_agg": (search_range_agg, search_range_agg_oracle_sql()),
+        # ES cardinality aggregation: exact distinct `source` count per
+        # match set (HLL++ approx path pinned in pytest, not hash-gated)
+        "search_cardinality": (search_cardinality, search_cardinality_oracle_sql()),
         # ES rescore: window-bounded phrase re-scoring over the base
         # top-W, score_mode total
         "bm25_topk_rescore": (bm25_rescore, bm25_rescore_oracle_sql()),

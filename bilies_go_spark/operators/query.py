@@ -608,6 +608,80 @@ def _span_shard(
     )
 
 
+def _mpp_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """``match_phrase_prefix`` scoring for one (query, shard): decode
+    every slice with positions, keep docs in [lo, hi), verify the fixed
+    run + prefix-expansion alt slot, fold over the fixed terms, shard
+    top-k.  Shard-exact like :func:`_phrase_shard` — a doc's postings
+    and positions all land in its shard; a FIXED term with no live
+    postings in the shard empties the shard, while expansion terms
+    union (partial presence is fine)."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    n_fixed = int(pdf["n_fixed"].iloc[0])
+
+    per_term, quads, slots_map, alt_terms = {}, {}, {}, []
+    for term, rows in pdf.groupby("term", sort=True):
+        dfreq = int(rows["df"].iloc[0])
+        slots_map[term] = [int(s) for s in rows["slots"].iloc[0]]
+        is_alt = bool(int(rows["is_alt"].iloc[0]))
+        quad = _decode_slice_quad(rows, lo, hi, deleted)
+        if quad is None:
+            if slots_map[term]:
+                return empty  # fixed term absent in shard -> no match here
+            continue  # expansion term absent: contributes nothing
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+        }
+        quads[term] = quad
+        if is_alt:
+            alt_terms.append(term)
+    fixed_terms = sorted(t for t in quads if slots_map[t])
+    if len(fixed_terms) < n_expected or not alt_terms:
+        return empty
+    slot_list = sorted(
+        (per_term[t]["df"], off, t) for t in fixed_terms for off in slots_map[t]
+    )
+    start_keys = _phrase_surviving_keys(quads, slot_list)
+    alt_keys = _alt_slot_keys_quads({t: quads[t] for t in alt_terms}, n_fixed)
+    matched_keys = _intersect_sorted_i64(start_keys, alt_keys)
+    if matched_keys.size == 0:
+        return empty
+    matched = np.unique(matched_keys >> PHRASE_POS_SHIFT)
+    decoded = {t: quads[t][:3] for t in fixed_terms}
+    doc, acc = _merge_accumulate(
+        decoded, per_term, fixed_terms, avgdl, k1, b, cand=matched
+    )
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 def _highlight_shard(
     pdf: pd.DataFrame,
     lo: int,
@@ -1319,11 +1393,13 @@ def _positional_candidates(per_term, terms, stats, deleted):
     return cand, quads
 
 
-def _verify_phrase(quads, slot_list) -> np.ndarray:
-    """Docs whose token stream contains the phrase: intersect composite
-    (doc·2^21 + start-position) keys slot by slot.  ``slot_list`` is
-    (sort-key, offset, term) tuples, cheapest-first; ``quads`` maps
-    term -> (ids, tfs, dls, pos)."""
+def _phrase_surviving_keys(quads, slot_list) -> np.ndarray:
+    """Sorted composite (doc·2^21 + start-position) keys at which the
+    phrase's fixed slots all match: intersect per-slot shifted keys
+    slot by slot.  ``slot_list`` is (sort-key, offset, term) tuples,
+    cheapest-first; ``quads`` maps term -> (ids, tfs, dls, pos).  The
+    running key set stays sorted (the first slot's keys are sorted and
+    intersection preserves order)."""
     keys: np.ndarray | None = None
     e = np.empty(0, dtype=np.int64)
     for _, off, t in slot_list:
@@ -1343,7 +1419,59 @@ def _verify_phrase(quads, slot_list) -> np.ndarray:
             keys = keys[skeys[pidx] == keys]
         if keys.size == 0:
             return e
+    return keys if keys is not None else e
+
+
+def _verify_phrase(quads, slot_list) -> np.ndarray:
+    """Docs whose token stream contains the phrase — unique doc ids of
+    :func:`_phrase_surviving_keys`."""
+    keys = _phrase_surviving_keys(quads, slot_list)
+    if keys.size == 0:
+        return keys
     return np.unique(keys // PHRASE_POS_STRIDE)
+
+
+def _intersect_sorted_i64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elements of sorted ``a`` also present in sorted ``b`` (the
+    searchsorted membership gate used throughout the kernels)."""
+    if a.size == 0 or b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    pidx = np.minimum(np.searchsorted(b, a), b.size - 1)
+    return a[b[pidx] == a]
+
+
+def _alt_slot_keys_quads(alt_quads: dict, off: int) -> np.ndarray:
+    """Sorted-unique composite start keys contributed by the expansion
+    (alternative) terms of a ``match_phrase_prefix`` query: any doc
+    position p >= off holding ANY expansion term admits phrase start
+    p - off.  ``alt_quads`` maps term -> (ids, tfs, dls, pos)."""
+    parts = []
+    for _t, (ids, tfs, _dls, pos) in sorted(alt_quads.items()):
+        if pos.size and int(pos.max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+        doc_rep = np.repeat(ids, tfs)
+        valid = pos >= off
+        parts.append(doc_rep[valid] * PHRASE_POS_STRIDE + (pos[valid] - off))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _alt_slot_keys_cached(keys_by_term: dict, alt_terms: list, off: int) -> np.ndarray:
+    """:func:`_alt_slot_keys_quads` over PRE-SORTED composite key
+    arrays (the serving-cache twin): mask positions < off, shift, and
+    union — each per-term array stays sorted under the mask/shift, so
+    the union is one concat + unique."""
+    parts = []
+    for t in alt_terms:
+        kt = keys_by_term[t]
+        parts.append((kt[(kt & PHRASE_POS_MASK) >= off] - off) if off else kt)
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
 
 
 def phrase_query_kernel(
@@ -1420,6 +1548,128 @@ def phrase_query_kernel(
     # 3. BM25 over the phrase's distinct terms, matched docs only
     decoded = {t: quads[t][:3] for t in terms}
     doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def match_phrase_prefix_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """ES ``match_phrase_prefix`` top-k over a POSITIONAL index: docs
+    containing the query's FIXED tokens as a contiguous run immediately
+    followed by a token that starts with the final (prefix) token —
+    i.e. the last phrase slot matches ANY dictionary expansion of the
+    prefix.  Scored as BM25 over the fixed distinct terms (the
+    deterministic exact-scoring choice — ES's blended expansion idf is
+    rewrite-dependent; documented divergence, oracle-matched).
+
+    Plan: conjunctive candidates over the FIXED terms only (rarest
+    decodes fully, the rest masked to candidate blocks), expansion
+    terms decode masked to the surviving candidates' blocks, then the
+    alt slot intersects as a UNION of shifted composite keys against
+    the fixed slots' surviving start keys.  Cost beyond the phrase
+    kernel is O(candidate-local expansion occurrences) — a hot
+    expansion never decodes outside the fixed candidates' blocks.
+
+    Expects ``n_terms`` (distinct FIXED-term count), ``n_fixed`` (the
+    prefix slot offset = phrase length - 1), ``slots`` (per-term fixed
+    offsets; empty for pure expansion terms) and ``is_alt`` columns.
+    """
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    n_fixed = int(pdf["n_fixed"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    per_term: dict[str, dict] = {}
+    slots_map: dict[str, list[int]] = {}
+    alt_terms: list[str] = []
+    for term, rows in pdf.groupby("term", sort=True):
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "match_phrase_prefix needs an index built with "
+                "BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        slots_map[term] = [int(s) for s in rows["slots"].iloc[0]]
+        if int(rows["is_alt"].iloc[0]):
+            alt_terms.append(term)
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+    fixed_terms = sorted(t for t in per_term if slots_map[t])
+    if len(fixed_terms) < n_expected or not alt_terms:
+        return empty  # a fixed term matches no doc / prefix matches no term
+
+    cand, quads = _positional_candidates(
+        {t: per_term[t] for t in fixed_terms}, fixed_terms, stats, deleted
+    )
+    if cand.size == 0:
+        return empty
+
+    # expansion terms: decode only candidate-bearing blocks, restrict
+    # to candidates (union semantics — a term absent near candidates
+    # simply contributes no start keys)
+    alt_quads: dict[str, tuple] = {}
+    for t in alt_terms:
+        tparts = []
+        for seg in per_term[t]["runs"]:
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                tparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
+                stats.blocks_decoded += int(mask.sum())
+        tparts = [p for p in tparts if p[0].size]
+        if not tparts:
+            continue
+        quad = (
+            tparts[0]
+            if len(tparts) == 1
+            else tuple(np.concatenate([p[i] for p in tparts]) for i in range(4))
+        )
+        alt_quads[t] = _restrict_quad(quad, cand)
+    if not alt_quads:
+        return empty
+
+    slot_list = sorted(
+        (per_term[t]["df"], off, t) for t in fixed_terms for off in slots_map[t]
+    )
+    start_keys = _phrase_surviving_keys(quads, slot_list)
+    alt_keys = _alt_slot_keys_quads(alt_quads, n_fixed)
+    matched_keys = _intersect_sorted_i64(start_keys, alt_keys)
+    if matched_keys.size == 0:
+        return empty
+    matched = np.unique(matched_keys >> PHRASE_POS_SHIFT)
+
+    decoded = {t: quads[t][:3] for t in fixed_terms}
+    doc, acc = _merge_accumulate(
+        decoded, per_term, fixed_terms, avgdl, k1, b, cand=matched
+    )
     if doc.size == 0:
         return empty
     sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
@@ -1569,12 +1819,13 @@ def span_query_kernel(
     )
 
 
-def _verify_phrase_keys(keys_by_term: dict, slot_list) -> np.ndarray:
-    """Phrase verification over PRE-SORTED composite (doc·2^21 + pos)
-    key arrays — the serving-cache twin of :func:`_verify_phrase`.
-    Slot offset j shifts a term's keys by -j after dropping positions
-    < j; the boolean mask preserves sort order, so no per-query sort
-    (the cached arrays are sorted once at fill)."""
+def _phrase_surviving_keys_cached(keys_by_term: dict, slot_list) -> np.ndarray:
+    """Sorted composite start keys at which every fixed slot matches,
+    over PRE-SORTED composite (doc·2^21 + pos) key arrays — the
+    serving-cache twin of :func:`_phrase_surviving_keys`.  Slot offset
+    j shifts a term's keys by -j after dropping positions < j; the
+    boolean mask preserves sort order, so no per-query sort (the
+    cached arrays are sorted once at fill)."""
     keys: np.ndarray | None = None
     e = np.empty(0, dtype=np.int64)
     for _, off, t in slot_list:
@@ -1589,6 +1840,15 @@ def _verify_phrase_keys(keys_by_term: dict, slot_list) -> np.ndarray:
             keys = keys[skeys[pidx] == keys]
         if keys.size == 0:
             return e
+    return keys if keys is not None else e
+
+
+def _verify_phrase_keys(keys_by_term: dict, slot_list) -> np.ndarray:
+    """Phrase verification over PRE-SORTED composite key arrays —
+    unique doc ids of :func:`_phrase_surviving_keys_cached`."""
+    keys = _phrase_surviving_keys_cached(keys_by_term, slot_list)
+    if keys.size == 0:
+        return keys
     docs = keys >> PHRASE_POS_SHIFT  # keys stayed sorted -> docs sorted
     return docs[np.concatenate([[True], docs[1:] != docs[:-1]])]
 
@@ -3643,6 +3903,253 @@ class QueryEngine:
             shard_kernel, schema=TOPK_SCHEMA
         )
         return self._merge_shard_topk(partial, queries)
+
+    def _mpp_qt_rows(self, queries: pd.DataFrame) -> pd.DataFrame:
+        """(query_id, term, k, n_terms, n_fixed, slots, is_alt) rows
+        for ``match_phrase_prefix``: the query text analyzes as usual,
+        the LAST token is the prefix (ES semantics — no ``*`` marker
+        needed) and expands against the term dictionary via the pushed-
+        down range scan; every other token is a fixed phrase slot.  A
+        term can be both (fixed slot AND expansion) — one row carrying
+        both roles."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        parsed = {}
+        prefixes = set()
+        for r in queries.itertuples(index=False):
+            toks = tokenize_py(r.text)
+            if len(toks) < 2:
+                raise ValueError(
+                    "match_phrase_prefix needs at least one fixed token "
+                    f"before the prefix: {r.text!r}"
+                )
+            parsed[int(r.query_id)] = (toks[:-1], toks[-1], int(r.k))
+            prefixes.add(toks[-1])
+        expansion = self.expand_prefixes(sorted(prefixes)) if prefixes else {}
+        rows = []
+        for qid, (fixed, prefix, k) in parsed.items():
+            exp = expansion.get(prefix, [])
+            slots: dict[str, list[int]] = {}
+            for j, t in enumerate(fixed):
+                slots.setdefault(t, []).append(j)
+            alts = set(exp)
+            for t in sorted(set(slots) | alts):
+                rows.append(
+                    (qid, t, k, len(slots), len(fixed), slots.get(t, []), int(t in alts))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "term", "k", "n_terms", "n_fixed", "slots", "is_alt"],
+        )
+
+    _MPP_QT_SCHEMA = (
+        "query_id bigint, term string, k int, n_terms int, n_fixed int, "
+        "slots array<int>, is_alt int"
+    )
+
+    def topk_match_phrase_prefix(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` top-k (positional index): the
+        fixed tokens as a contiguous run immediately followed by a
+        token starting with the final (prefix) token, BM25-scored over
+        the fixed distinct terms (deterministic exact scoring — see
+        :func:`match_phrase_prefix_kernel`; ES's rewrite-dependent
+        blended idf is a documented divergence).  Expansion is
+        UNCAPPED (exact — ES's ``max_expansions=50`` is a recall cut);
+        the dictionary range scan bounds its cost by the prefix's
+        selectivity, and expansion postings only ever decode inside
+        the fixed run's candidate blocks.  Same three result-identical
+        paths as :meth:`topk_phrase`: one-task-per-query distributed,
+        doc-range-sharded (auto-picked from Σ df in EVERY mode — a
+        heavy query never sweeps one driver thread), and the
+        driver-side serving path (``mode='local'``)."""
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "match_phrase_prefix needs an index built with "
+                "BuildConfig(positions=True)"
+            )
+        qt_pdf = self._mpp_qt_rows(queries)
+        if qt_pdf.empty:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if n_shards > 1:
+            return self.topk_match_phrase_prefix_sharded(queries, qt_pdf, n_shards)
+        if mode == "local":
+            out = self._mpp_local(qt_pdf)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(qt_pdf, schema=self._MPP_QT_SCHEMA)
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return match_phrase_prefix_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_match_phrase_prefix_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded ``match_phrase_prefix`` plan — the
+        :meth:`topk_phrase_sharded` slicer with the fixed/alt columns
+        riding through; shard-exact per :func:`_mpp_shard`."""
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        qt = self.spark.createDataFrame(qt_pdf, schema=self._MPP_QT_SCHEMA)
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        extra = ("n_terms", "n_fixed", "slots", "is_alt")
+        slice_schema = (
+            "query_id bigint, k int, n_terms int, n_fixed int, slots array<int>, "
+            "is_alt int, term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+            + ", positions_vb binary"
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard_pos(pdf, bounds, extra_cols=extra)
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            vb = int(
+                pdf["doc_gaps_vb"].str.len().sum()
+                + pdf["tfs_vb"].str.len().sum()
+                + pdf["dls_vb"].str.len().sum()
+                + pdf["positions_vb"].str.len().sum()
+            )
+            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _mpp_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
+
+    def _mpp_local(self, qt_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Driver serving path for ``match_phrase_prefix`` over the
+        positional key cache — the mpp twin of :meth:`_pos_local`:
+        fixed-slot verification on cached pre-sorted composite keys
+        (:func:`_phrase_surviving_keys_cached`), the prefix-expansion
+        alt slot as a shifted-key union, scoring over the fixed terms
+        only.  Result-identical to the distributed kernels
+        (pytest-pinned)."""
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        if qt_pdf.empty:
+            return empty
+        seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+        if seg_pdf.empty:
+            return empty
+        outs = []
+        for qid, qrows in qt_pdf.groupby("query_id", sort=True):
+            n_expected = int(qrows["n_terms"].iloc[0])
+            n_fixed = int(qrows["n_fixed"].iloc[0])
+            slots_map = dict(zip(qrows["term"], qrows["slots"]))
+            alt_flag = dict(zip(qrows["term"], qrows["is_alt"]))
+            terms = sorted(qrows["term"].unique())
+            entries, df_map = {}, {}
+            for t in terms:
+                rows = seg_pdf[seg_pdf["term"] == t]
+                if rows.empty:
+                    continue
+                ent = self._pos_entry(t, rows)
+                if ent[0].size == 0:
+                    continue
+                entries[t] = ent
+                df_map[t] = int(rows["df"].iloc[0])
+            fixed_terms = sorted(
+                t for t in entries if len(slots_map.get(t, []))
+            )
+            alt_terms = sorted(t for t in entries if int(alt_flag.get(t, 0)))
+            if len(fixed_terms) < n_expected or not alt_terms:
+                continue
+            import bilies_go_spark as _bgs
+
+            need = 2 * sum(
+                sum(int(a.nbytes) for a in entries[t]) for t in entries
+            ) + (64 << 20)
+            _bgs.prefault_heap(min(need, 1 << 30))
+            keys_by_term = {t: entries[t][3] for t in entries}
+            slot_list = sorted(
+                (df_map[t], int(off), t)
+                for t in fixed_terms
+                for off in slots_map[t]
+            )
+            start_keys = _phrase_surviving_keys_cached(keys_by_term, slot_list)
+            alt_keys = _alt_slot_keys_cached(keys_by_term, alt_terms, n_fixed)
+            matched_keys = _intersect_sorted_i64(start_keys, alt_keys)
+            if matched_keys.size == 0:
+                continue
+            docs = matched_keys >> PHRASE_POS_SHIFT  # sorted
+            matched = docs[np.concatenate([[True], docs[1:] != docs[:-1]])]
+            per_term = {
+                t: {
+                    "idf": float(
+                        np.log1p((self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                    )
+                }
+                for t in fixed_terms
+            }
+            decoded = {
+                t: _restrict_triple(entries[t][:3], matched) for t in fixed_terms
+            }
+            doc, acc = _merge_accumulate(
+                decoded, per_term, fixed_terms, self.avgdl, self.k1, self.b,
+                cand=matched,
+            )
+            if doc.size == 0:
+                continue
+            k = int(qrows["k"].iloc[0])
+            sel = _topk_select(doc, acc, k, tie_margin=self.tie_margin)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(sel.size, int(qid), dtype=np.int64),
+                        "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                        "doc_id": doc[sel],
+                        "score": acc[sel],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     def topk_span_near(
         self,

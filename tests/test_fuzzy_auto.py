@@ -117,9 +117,9 @@ def test_fuzzy_auto_requires_depth2_marker(spark, pos_index_dir, monkeypatch):
     called = {}
     real = eng._expand_fuzzy_scan
 
-    def spy(toks, auto=False):
+    def spy(toks, auto=False, dist=None):
         called["auto"] = auto
-        return real(toks, auto=auto)
+        return real(toks, auto=auto, dist=dist)
 
     monkeypatch.setattr(eng, "_expand_fuzzy_scan", spy)
     got = eng.expand_fuzzy(["watrer"], auto=True)

@@ -583,3 +583,37 @@ def test_top_hits_buckets_exact(spark, small_corpus, index_dir):
         scores[scores.query_id == 0]["doc_id"]
     ) & set(corpus_pdf[corpus_pdf["doc_id"] % 13 == 0]["doc_id"])
     assert withheld, "fixture must withhold at least one matching doc"
+
+
+def test_cardinality_approx_within_error(spark, small_corpus, index_dir):
+    """The cardinality agg's 10^12-doc serving path — HLL++
+    `approx_count_distinct` over the identical match_ids + fact-join
+    plan — stays within HLL error of the exact distinct count (the
+    gated `search_cardinality` entry is exact; the sketch is the
+    documented swap-in, never hash-gated because sketches are
+    seed-dependent)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["the", "you that"]})
+    matches = QueryEngine(spark, index_dir).match_ids(queries)
+    # synthetic keyword field with per-query-distinct cardinality
+    facts = small_corpus.select(
+        "doc_id", (F.col("doc_id") % 37).cast("string").alias("source")
+    )
+    j = matches.join(facts, "doc_id")
+    got = (
+        j.groupBy("query_id")
+        .agg(
+            F.countDistinct("source").alias("exact"),
+            F.approx_count_distinct("source", 0.02).alias("approx"),
+        )
+        .toPandas()
+        .sort_values("query_id")
+    )
+    assert len(got) == 2
+    for r in got.itertuples(index=False):
+        assert r.exact > 0
+        assert abs(int(r.approx) - int(r.exact)) <= max(2, 0.1 * int(r.exact))

@@ -1162,3 +1162,125 @@ def test_span_first_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
     )
     with pytest.raises(ValueError, match="first"):
         eng.topk_span_first(sfq.drop(columns=["first"]))
+
+
+MPP = pd.DataFrame(
+    {
+        "query_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "the o",        # fixed "the", prefix "o" (of/on/or/out/...)
+            "of th",        # hot fixed + hot prefix (the/that/they/...)
+            "you that h",   # two fixed slots
+            "the the",      # prefix "the" expands to itself and th*-terms
+            "the zzqx",     # prefix matches no vocabulary term -> empty
+            "zzqx th",      # fixed term absent -> empty
+        ],
+        "k": [10, 10, 10, 10, 10, 10],
+    }
+)
+
+
+def _brute_mpp(corpus, queries, k1=K1_DEFAULT, b=B_DEFAULT):
+    """match_phrase_prefix reference: fixed tokens contiguous, the next
+    token starts with the prefix; scored over the FIXED tokens only."""
+
+    def match(q, t):
+        toks = tokenize_py(q.text)
+        fixed, prefix = toks[:-1], toks[-1]
+        m = len(fixed)
+        return any(
+            t[i : i + m] == fixed and t[i + m].startswith(prefix)
+            for i in range(len(t) - m)
+        )
+
+    def terms(q):
+        return tokenize_py(q.text)[:-1]
+
+    return _brute_filtered_topk(corpus, queries, match, terms_fn=terms, k1=k1, b=b)
+
+
+def test_match_phrase_prefix_matches_brute_all_paths(
+    spark, small_corpus, pos_index_dir
+):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    exp = _brute_mpp(corpus_pdf, MPP)
+    eng = QueryEngine(spark, pos_index_dir)
+    key = ["query_id", "rank"]
+
+    def chk(got):
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e)
+        assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), e["score"].to_numpy(), rtol=0, atol=1e-9
+        )
+
+    dist = eng.topk_match_phrase_prefix(MPP, n_shards=1).toPandas()
+    chk(dist)
+    chk(eng.topk_match_phrase_prefix(MPP, n_shards=1, mode="local").toPandas())
+    shard = eng.topk_match_phrase_prefix(MPP, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
+    per_q = exp.groupby("query_id").size()
+    assert all(per_q.get(i, 0) > 0 for i in (0, 1, 2, 3))
+    assert per_q.get(4, 0) == 0 and per_q.get(5, 0) == 0
+    # the prefix must genuinely widen beyond the exact phrase: "the o"
+    # matches more docs than the exact phrase "the of"
+    full_mpp = _brute_mpp(corpus_pdf, MPP.assign(k=10_000))
+    full_ph = _brute_phrase_topk(
+        corpus_pdf,
+        pd.DataFrame({"query_id": [0], "text": ["the of"], "k": [10_000]}),
+    )
+    assert (
+        full_mpp[full_mpp["query_id"] == 0].shape[0]
+        > full_ph[full_ph["query_id"] == 0].shape[0]
+    )
+    # a single-token query (no fixed slot) is rejected loudly
+    with pytest.raises(ValueError, match="fixed token"):
+        eng.topk_match_phrase_prefix(
+            pd.DataFrame({"query_id": [0], "text": ["th"], "k": [5]})
+        )
+
+
+def test_match_phrase_prefix_semantics(spark, tmp_path):
+    """Hand-built corpus pinning the mpp contract: the expansion slot
+    must IMMEDIATELY follow the fixed run; a doc ending at the fixed
+    run (no next token) does not match; the prefix may match the exact
+    term itself; a term can serve as fixed slot and expansion at once."""
+    rows = [
+        (0, "alpha beta gamma"),   # "alpha be" matches (beta), "alpha beta ga" matches
+        (1, "alpha gamma beta"),   # "alpha be" no (gamma follows alpha)
+        (2, "gamma alpha"),        # "gamma al" matches (alpha)
+        (3, "beta alpha"),         # doc ends after "alpha": "beta alpha" has no NEXT token
+        (4, "alpha alpha beta"),   # "alpha al" both-roles: alpha followed by alpha*
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id bigint, text string",
+    )
+    d = str(tmp_path / "tiny_mpp")
+    cfg = BuildConfig(
+        n_buckets=4, block_size=4, target_postings_per_salt=100,
+        positions=True, build_part_expr="'all'",
+    )
+    build_index(spark, corpus, d, cfg)
+    eng = QueryEngine(spark, d)
+    q = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["alpha be", "gamma al", "alpha al", "beta alpha"],
+            "k": [10, 10, 10, 10],
+        }
+    )
+    got = eng.topk_match_phrase_prefix(q).toPandas()
+    assert sorted(got[got.query_id == 0]["doc_id"]) == [0, 4]
+    # doc 1's gamma is followed by beta (not al*); doc 0's gamma is final
+    assert sorted(got[got.query_id == 1]["doc_id"]) == [2]
+    assert sorted(got[got.query_id == 2]["doc_id"]) == [4]
+    # "beta alpha": the expansion slot token may be the prefix itself —
+    # doc 3's trailing "alpha" satisfies it; doc 4's beta is final (no
+    # next token) and doc 0's beta is followed by gamma
+    assert sorted(got[got.query_id == 3]["doc_id"]) == [3]
