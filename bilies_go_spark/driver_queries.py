@@ -1286,6 +1286,156 @@ FROM r WHERE rank <= {SUGGEST_TOP}
 """
 
 
+# --- phrase suggester ----------------------------------------------------------
+# ES phrase suggester (whole-query did-you-mean) for two-token inputs:
+# per-slot candidates are ES-AUTO-distance dictionary neighbors
+# (distance 0 keeps only the token itself), pairs rank by the number
+# of docs where the pair occurs ADJACENTLY (corpus bigram frequency),
+# ties by pair text; the original pair is excluded.  Oracle: candidate
+# cross join x position self-join adjacency counts.
+
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "hash joim"),   # joim -> join (distance 1)
+    (1, "tabel scan"),  # tabel -> table
+    (2, "the of"),      # in-vocab pair: suggest other common bigrams
+    (3, "zzqxa zzqyb"), # no candidates -> empty
+]
+PHRASE_SUGGEST_TOP = 5
+
+
+def phrase_suggest_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in PHRASE_SUGGEST_QUERIES],
+            "text": [q[1] for q in PHRASE_SUGGEST_QUERIES],
+        }
+    )
+
+
+def search_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    return QueryEngine(spark, idx).suggest_phrases(
+        phrase_suggest_queries_pdf(), n_top=PHRASE_SUGGEST_TOP
+    )
+
+
+def search_suggest_phrase_oracle_sql() -> str:
+    from bilies_go_spark.operators.query import _auto_fuzzy_dist
+
+    qrows = []
+    for qid, text in PHRASE_SUGGEST_QUERIES:
+        t1, t2 = tokenize_py(text)
+        qrows.append(
+            f"({qid}, '{t1}', '{t2}', {_auto_fuzzy_dist(t1)}, {_auto_fuzzy_dist(t2)})"
+        )
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+posn AS (
+  SELECT doc_id, d.tk[g.i] AS term, g.i - 1 AS pos
+  FROM (SELECT doc_id, {duck_tokens()} AS tk FROM documents) d,
+       unnest(generate_series(1, len(d.tk))) AS g(i)
+),
+q(query_id, t1, t2, d1, d2) AS (VALUES {values}),
+cand1 AS (
+  SELECT q.query_id, q.t1, q.t2, ts.term AS c1
+  FROM q JOIN ts ON levenshtein(q.t1, ts.term) <= q.d1
+),
+cand2 AS (
+  SELECT q.query_id, ts.term AS c2
+  FROM q JOIN ts ON levenshtein(q.t2, ts.term) <= q.d2
+),
+pairs AS (
+  SELECT c1.query_id, c1.c1, c2.c2
+  FROM cand1 c1 JOIN cand2 c2 USING (query_id)
+  WHERE NOT (c1.c1 = c1.t1 AND c2.c2 = c1.t2)
+),
+adj AS (
+  SELECT pr.query_id, pr.c1, pr.c2, count(DISTINCT p1.doc_id) AS n_docs
+  FROM pairs pr
+  JOIN posn p1 ON p1.term = pr.c1
+  JOIN posn p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+              AND p2.term = pr.c2
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT query_id, c1 || ' ' || c2 AS suggestion, n_docs,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_docs DESC, c1 ASC, c2 ASC
+         ) AS rank
+  FROM adj
+)
+SELECT query_id, rank, suggestion, n_docs
+FROM r WHERE rank <= {PHRASE_SUGGEST_TOP}
+"""
+
+
+# --- completion suggester ------------------------------------------------------
+# ES completion suggester (search-as-you-type): per prefix the top
+# dictionary terms starting with it, ranked by (df desc, term asc) —
+# df standing in for the ES completion weight.  Engine = pushed-down
+# dictionary range scan + df point reads (never a vocabulary scan).
+
+COMPLETE_QUERIES: list[tuple[int, str]] = [
+    (0, "th"),    # the/that/they/... hot prefix
+    (1, "jo"),    # join
+    (2, "wa"),    # was/water/way/...
+    (3, "zzqx"),  # no vocabulary term -> empty
+]
+COMPLETE_TOP = 5
+
+
+def complete_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in COMPLETE_QUERIES],
+            "prefix": [q[1] for q in COMPLETE_QUERIES],
+        }
+    )
+
+
+def search_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    return QueryEngine(spark, idx).suggest_completions(
+        complete_queries_pdf(), n_top=COMPLETE_TOP
+    )
+
+
+def search_complete_oracle_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in COMPLETE_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, prefix) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, q.prefix, ts.term AS suggestion, ts.df
+  FROM q JOIN ts ON ts.term LIKE q.prefix || '%'
+),
+r AS (
+  SELECT query_id, prefix, suggestion, df,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY df DESC, suggestion ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, prefix, rank, suggestion, df
+FROM r WHERE rank <= {COMPLETE_TOP}
+"""
+
+
 # --- metric + histogram aggregations over match sets --------------------------
 # The ES aggs surface on search hits: a stats aggregation (count, min,
 # max, sum, avg + exact interpolated median) and a numeric histogram
@@ -3937,6 +4087,14 @@ def registry() -> dict[str, tuple]:
         # ES term suggester: AUTO-distance dictionary neighbors ranked
         # by (distance, df, term); SymSpell candidates + exact verify
         "search_suggest": (search_suggest, search_suggest_oracle_sql()),
+        # ES completion suggester: dictionary range scan, df-weighted
+        "search_complete": (search_complete, search_complete_oracle_sql()),
+        # ES phrase suggester: AUTO-distance per-slot candidates ranked
+        # by corpus bigram adjacency counts
+        "search_suggest_phrase": (
+            search_suggest_phrase,
+            search_suggest_phrase_oracle_sql(),
+        ),
         # ES stats aggregation over match sets (count/min/max/sum/avg +
         # exact interpolated median of n_chars)
         "search_stats_agg": (search_stats_agg, search_stats_agg_oracle_sql()),

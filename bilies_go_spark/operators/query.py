@@ -1683,6 +1683,116 @@ def match_phrase_prefix_kernel(
     )
 
 
+def _bigram_pair_counts(
+    keys_by_term: dict, cand1: list, cand2: list
+) -> "dict[tuple[str, str], int]":
+    """Distinct-doc adjacency counts for every candidate pair: the
+    number of docs where some occurrence of ``a`` is IMMEDIATELY
+    followed by an occurrence of ``b``, computed as a sorted-key
+    intersection of ``a``'s composite keys shifted +1 against ``b``'s.
+    Each term's key array is built once and reused across all its
+    pairs (the phrase-suggester hot loop is O(pairs · log occ), never
+    a re-decode per pair).  Keys whose position is the stride maximum
+    are masked before the +1 shift so a shift can never bleed into the
+    next doc's position 0."""
+    out: dict[tuple[str, str], int] = {}
+    shifted: dict[str, np.ndarray] = {}
+    for a in cand1:
+        ka = keys_by_term.get(a)
+        if ka is None or ka.size == 0:
+            continue
+        if a not in shifted:
+            shifted[a] = ka[(ka & PHRASE_POS_MASK) < PHRASE_POS_MASK] + 1
+        ka1 = shifted[a]
+        for b in cand2:
+            kb = keys_by_term.get(b)
+            if kb is None or kb.size == 0:
+                continue
+            inter = _intersect_sorted_i64(ka1, kb)
+            if inter.size:
+                docs = inter >> PHRASE_POS_SHIFT
+                out[(a, b)] = int(
+                    np.count_nonzero(np.concatenate([[True], docs[1:] != docs[:-1]]))
+                )
+    return out
+
+
+def _suggest_bigram_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-query phrase-suggester task: decode every candidate term
+    ONCE into sorted composite keys, then count adjacency docs for
+    every (first-slot, second-slot) candidate pair.  Expects ``role``
+    (bitmask: 1 = first-slot candidate, 2 = second-slot) on every
+    row."""
+    empty = pd.DataFrame(
+        {"query_id": [], "c1": [], "c2": [], "n_docs": []}
+    ).astype({"query_id": "int64", "c1": "str", "c2": "str", "n_docs": "int64"})
+    if pdf.empty:
+        return empty
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    qid = int(pdf["query_id"].iloc[0])
+    keys_by_term: dict[str, np.ndarray] = {}
+    cand1, cand2 = [], []
+    for term, rows in pdf.groupby("term", sort=True):
+        role = int(rows["role"].iloc[0])
+        parts = []
+        for _, r in rows.iterrows():
+            seg = row_to_segment(r)
+            ids, tfs, _dls, pos = decode_masked_pos(seg, None)
+            if ids.size:
+                parts.append(np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos)
+        if parts:
+            kt = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            kt.sort()
+            keys_by_term[term] = kt
+        if role & 1:
+            cand1.append(term)
+        if role & 2:
+            cand2.append(term)
+    counts = _bigram_pair_counts(keys_by_term, sorted(cand1), sorted(cand2))
+    if not counts:
+        return empty
+    rows = [(qid, a, b, n) for (a, b), n in sorted(counts.items())]
+    return pd.DataFrame(rows, columns=["query_id", "c1", "c2", "n_docs"]).astype(
+        {"query_id": "int64", "n_docs": "int64"}
+    )
+
+
+def _suggest_bigram_shard(pdf: pd.DataFrame, lo: int, hi: int) -> pd.DataFrame:
+    """Doc-range-sharded phrase-suggester twin: adjacency counts over
+    one shard's byte slices.  Shard-exact AND additive — a doc's
+    occurrences all land in its shard, so per-shard distinct-doc
+    counts sum to the global count."""
+    empty = pd.DataFrame(
+        {"query_id": [], "c1": [], "c2": [], "n_docs": []}
+    ).astype({"query_id": "int64", "c1": "str", "c2": "str", "n_docs": "int64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    keys_by_term: dict[str, np.ndarray] = {}
+    cand1, cand2 = [], []
+    for term, rows in pdf.groupby("term", sort=True):
+        role = int(rows["role"].iloc[0])
+        if role & 1:
+            cand1.append(term)
+        if role & 2:
+            cand2.append(term)
+        quad = _decode_slice_quad(rows, lo, hi, None)
+        if quad is None:
+            continue
+        ids, tfs, _dls, pos = quad
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[term] = kt
+    counts = _bigram_pair_counts(keys_by_term, sorted(cand1), sorted(cand2))
+    if not counts:
+        return empty
+    rows = [(qid, a, b, n) for (a, b), n in sorted(counts.items())]
+    return pd.DataFrame(rows, columns=["query_id", "c1", "c2", "n_docs"]).astype(
+        {"query_id": "int64", "n_docs": "int64"}
+    )
+
+
 def _first_mask_keys(keys_list: "list[np.ndarray]", first: int) -> "list[np.ndarray]":
     """Apply the ``span_first`` end-limit — the Lucene ``end`` param:
     the whole match must lie within the doc's first ``first`` tokens,
@@ -4748,6 +4858,194 @@ class QueryEngine:
                 columns=["query_id", "token", "rank", "suggestion", "dist", "df"],
             ),
             schema=schema,
+        )
+
+    def suggest_completions(
+        self, queries: pd.DataFrame, n_top: int = 5
+    ) -> DataFrame:
+        """ES completion suggester (search-as-you-type): per input
+        prefix, the top dictionary terms STARTING WITH it, ranked by
+        (df desc, term asc) — document frequency standing in for the
+        ES completion weight (the natural corpus-derived popularity).
+        ``queries`` = (query_id, prefix).
+
+        Candidates come from the same pushed-down dictionary range
+        scan as prefix search (:meth:`expand_prefixes` — parquet
+        row-group stats prune, no vocabulary scan, no Spark job); at
+        10^12 docs both the range scan and the df point reads are
+        partition-pruned metadata lookups, O(matching terms)."""
+        prefixes = sorted(set(queries["prefix"]))
+        exp = self.expand_prefixes(prefixes)
+        cands = sorted({c for v in exp.values() for c in v})
+        dfs = self.term_dfs(cands)
+        rows = []
+        for r in queries.itertuples(index=False):
+            ranked = sorted(
+                (-int(dfs.get(c, 0)), c) for c in exp.get(r.prefix, [])
+            )
+            for rank, (ndf, c) in enumerate(ranked[:n_top], 1):
+                rows.append((int(r.query_id), r.prefix, rank, c, -ndf))
+        schema = (
+            "query_id bigint, prefix string, rank int, suggestion string, df bigint"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema=schema)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["query_id", "prefix", "rank", "suggestion", "df"]
+            ),
+            schema=schema,
+        )
+
+    SUGGEST_PHRASE_SCHEMA = (
+        "query_id bigint, rank int, suggestion string, n_docs bigint"
+    )
+
+    def suggest_phrases(
+        self,
+        queries: pd.DataFrame,
+        n_top: int = 5,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
+        """ES phrase suggester (whole-query did-you-mean) for two-token
+        inputs: candidates per slot are the ES ``AUTO``-distance
+        dictionary neighbors (including the token itself when in
+        vocabulary — distance 0), and candidate PAIRS rank by the
+        number of docs where the pair occurs ADJACENTLY (the corpus
+        bigram frequency — the real-text collation signal ES draws
+        from its shard-local bigram field), ties broken by pair text.
+        The input pair itself is never suggested; pairs never seen
+        adjacent are dropped.
+
+        Plan: SymSpell candidate expansion (pruned dictionary lookup),
+        then ONE decode per candidate term per task — pair counts are
+        sorted-key intersections (``_bigram_pair_counts``), never a
+        re-decode per pair.  Three paths: one-task-per-query
+        distributed, doc-range-sharded (counts are shard-additive —
+        auto-picked from Σ df in every mode), and ``mode='local'``
+        over the positional serving cache.  The final ranking touches
+        O(candidate pairs) rows — driver-metadata-sized."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "the phrase suggester needs an index built with "
+                "BuildConfig(positions=True)"
+            )
+        parsed: dict[int, tuple[str, str]] = {}
+        for r in queries.itertuples(index=False):
+            toks = tokenize_py(r.text)
+            if len(toks) != 2:
+                raise ValueError(
+                    f"phrase suggester expects exactly two tokens: {r.text!r}"
+                )
+            parsed[int(r.query_id)] = (toks[0], toks[1])
+        all_toks = sorted({t for p in parsed.values() for t in p})
+        exp = self.expand_fuzzy(all_toks, auto=True)
+        qt_rows = []
+        cands: dict[int, tuple[list[str], list[str]]] = {}
+        for qid, (t1, t2) in parsed.items():
+            c1 = exp.get(t1, [])
+            c2 = exp.get(t2, [])
+            if not c1 or not c2:
+                continue
+            cands[qid] = (c1, c2)
+            role: dict[str, int] = {}
+            for t in c1:
+                role[t] = role.get(t, 0) | 1
+            for t in c2:
+                role[t] = role.get(t, 0) | 2
+            for t in sorted(role):
+                qt_rows.append((qid, t, 0, role[t]))
+        if not qt_rows:
+            return self.spark.createDataFrame([], schema=self.SUGGEST_PHRASE_SCHEMA)
+        qt_pdf = pd.DataFrame(qt_rows, columns=["query_id", "term", "k", "role"])
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        counts: dict[int, dict[tuple[str, str], int]] = {}
+        if mode == "local" and n_shards == 1:
+            seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+            for qid, (c1, c2) in sorted(cands.items()):
+                keys_by_term = {}
+                for t in sorted(set(c1) | set(c2)):
+                    rows = seg_pdf[seg_pdf["term"] == t]
+                    if rows.empty:
+                        continue
+                    ent = self._pos_entry(t, rows)
+                    if ent[0].size:
+                        keys_by_term[t] = ent[3]
+                got = _bigram_pair_counts(keys_by_term, c1, c2)
+                if got:
+                    counts[qid] = got
+        else:
+            qt = self.spark.createDataFrame(
+                qt_pdf, schema="query_id bigint, term string, k int, role int"
+            )
+            terms = sorted(qt_pdf["term"].unique())
+            buckets = sorted(
+                {term_bucket_py(t, self.meta["n_buckets"]) for t in terms}
+            )
+            segs = self._segments_df(terms, buckets)
+            joined = segs.join(F.broadcast(qt), "term")
+            pair_schema = "query_id bigint, c1 string, c2 string, n_docs bigint"
+            if n_shards > 1:
+                bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+                bounds[-1] = np.iinfo(np.int64).max
+                slice_schema = (
+                    "query_id bigint, k int, role int, term string, df bigint, "
+                    "shard int, " + SEGMENT_SLICE_FIELDS + ", positions_vb binary"
+                )
+
+                def slicer(batches):
+                    for pdf in batches:
+                        out = _slice_segments_by_shard_pos(
+                            pdf, bounds, extra_cols=("role",)
+                        )
+                        if out is not None:
+                            yield out
+
+                # the slicer needs a df column (ordering only) — ride
+                # the broadcast stats in
+                tstats = self._tstats_df(terms, buckets)
+                sliced = joined.join(F.broadcast(tstats), "term").mapInPandas(
+                    slicer, schema=slice_schema
+                )
+
+                def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                    lo = int(bounds[key[1]])
+                    hi = int(bounds[key[1] + 1])
+                    return _suggest_bigram_shard(pdf, lo, hi)
+
+                partial = sliced.groupBy("query_id", "shard").applyInPandas(
+                    shard_kernel, schema=pair_schema
+                )
+                pair_df = partial.groupBy("query_id", "c1", "c2").agg(
+                    F.sum("n_docs").alias("n_docs")
+                )
+            else:
+                pair_df = joined.groupBy("query_id").applyInPandas(
+                    _suggest_bigram_kernel, schema=pair_schema
+                )
+            got = pair_df.toPandas()  # O(candidate pairs) — tiny
+            for r in got.itertuples(index=False):
+                counts.setdefault(int(r.query_id), {})[(r.c1, r.c2)] = int(r.n_docs)
+        out_rows = []
+        for qid, got in sorted(counts.items()):
+            t1, t2 = parsed[qid]
+            ranked = sorted(
+                ((-n, a, b) for (a, b), n in got.items() if (a, b) != (t1, t2)),
+            )
+            for rank, (nn, a, b) in enumerate(ranked[:n_top], 1):
+                out_rows.append((qid, rank, f"{a} {b}", -nn))
+        if not out_rows:
+            return self.spark.createDataFrame([], schema=self.SUGGEST_PHRASE_SCHEMA)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                out_rows, columns=["query_id", "rank", "suggestion", "n_docs"]
+            ),
+            schema=self.SUGGEST_PHRASE_SCHEMA,
         )
 
     # -- prefix (wildcard) expansion -------------------------------------------

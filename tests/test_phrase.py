@@ -1284,3 +1284,103 @@ def test_match_phrase_prefix_semantics(spark, tmp_path):
     # doc 3's trailing "alpha" satisfies it; doc 4's beta is final (no
     # next token) and doc 0's beta is followed by gamma
     assert sorted(got[got.query_id == 3]["doc_id"]) == [3]
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — independent of the engine's bounded
+    implementation."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_completions_matches_brute(spark, small_corpus, pos_index_dir):
+    """Completion suggester == brute: vocabulary terms starting with
+    the prefix ranked by (df desc, term asc), top N."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    df: dict[str, int] = {}
+    for r in corpus_pdf.itertuples(index=False):
+        for t in set(tokenize_py(r.text)):
+            df[t] = df.get(t, 0) + 1
+    qs = pd.DataFrame(
+        {"query_id": [0, 1, 2], "prefix": ["th", "wa", "zzqx"]}
+    )
+    got = (
+        QueryEngine(spark, pos_index_dir)
+        .suggest_completions(qs, n_top=4)
+        .toPandas()
+    )
+    for q in qs.itertuples(index=False):
+        exp = sorted(
+            ((-df[t], t) for t in df if t.startswith(q.prefix))
+        )[:4]
+        g = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(g["suggestion"]) == [t for _, t in exp]
+        assert list(g["df"]) == [-n for n, _ in exp]
+    assert (got[got.query_id == 0].shape[0]) >= 3  # the/that/they/...
+    assert got[got.query_id == 2].empty
+
+
+def test_suggest_phrases_matches_brute_all_paths(
+    spark, small_corpus, pos_index_dir
+):
+    """Phrase suggester == brute: AUTO-distance per-slot vocabulary
+    candidates, pairs ranked by distinct-doc adjacency counts
+    (n_docs desc, pair text asc), original pair excluded; local,
+    one-task, and sharded paths identical."""
+    from bilies_go_spark.operators.query import _auto_fuzzy_dist
+
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    toks = {
+        int(r.doc_id): tokenize_py(r.text)
+        for r in corpus_pdf.itertuples(index=False)
+    }
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["the of", "watr the", "zzqxa zzqyb"],
+        }
+    )
+    eng = QueryEngine(spark, pos_index_dir)
+    got = eng.suggest_phrases(qs, n_top=5).toPandas()
+    for q in qs.itertuples(index=False):
+        t1, t2 = tokenize_py(q.text)
+        c1 = [v for v in vocab if _lev(t1, v) <= _auto_fuzzy_dist(t1)]
+        c2 = [v for v in vocab if _lev(t2, v) <= _auto_fuzzy_dist(t2)]
+        counts: dict[tuple[str, str], int] = {}
+        for d, ts in toks.items():
+            seen = {(a, b) for a, b in zip(ts, ts[1:])}
+            for a, b in seen:
+                if a in c1 and b in c2:
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+        exp = sorted(
+            (-n, a, b) for (a, b), n in counts.items() if (a, b) != (t1, t2)
+        )[:5]
+        g = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(g["suggestion"]) == [f"{a} {b}" for _, a, b in exp]
+        assert list(g["n_docs"]) == [-n for n, _a, _b in exp]
+    assert not got[got.query_id == 0].empty
+    assert got[got.query_id == 2].empty
+    # all three paths identical
+    key = ["query_id", "rank"]
+    loc = eng.suggest_phrases(qs, n_top=5, mode="local").toPandas()
+    shd = eng.suggest_phrases(qs, n_top=5, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        loc.sort_values(key).reset_index(drop=True),
+        got.sort_values(key).reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        shd.sort_values(key).reset_index(drop=True),
+        got.sort_values(key).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="two tokens"):
+        eng.suggest_phrases(
+            pd.DataFrame({"query_id": [0], "text": ["only"]})
+        )
