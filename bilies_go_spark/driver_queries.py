@@ -844,6 +844,90 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- regexp query ---------------------------------------------------------------
+# ES/Lucene `regexp`: the pattern full-matches (implicitly anchored)
+# against the term dictionary; the query scores as the OR of the
+# expansion.  Patterns stay within the RE2-compatible subset both
+# Python `re` and DuckDB `regexp_full_match` agree on.
+
+REGEXP_QUERIES: list[tuple[int, str, int]] = [
+    (0, "jo.n", 10),          # join
+    (1, "sc.n", 10),          # scan
+    (2, "(hash|join)", 10),   # alternation
+    (3, "quer.*", 10),        # query (+ anything behind the prefix)
+    (4, "zzq.*", 10),         # no vocabulary match -> empty
+]
+
+
+def regexp_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in REGEXP_QUERIES],
+            "pattern": [q[1] for q in REGEXP_QUERIES],
+            "k": [q[2] for q in REGEXP_QUERIES],
+        }
+    )
+
+
+def bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-expanded top-k — must match the regexp_full_match
+    expansion oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_regexp(regexp_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            regexp_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_regexp_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    values = ", ".join(
+        f"({qid}, '{patt}', {k})" for qid, patt, k in REGEXP_QUERIES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, patt, k) AS (VALUES {values}),
+qe AS (
+  SELECT DISTINCT q.query_id, ts.term, q.k
+  FROM q JOIN ts ON regexp_full_match(ts.term, q.patt)
+),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- field collapsing ---------------------------------------------------------
 # ES `collapse`: rank normally, keep the best hit per distinct value of
 # the collapse field, re-rank survivors, return top-k GROUPS.  Engine
@@ -1643,6 +1727,86 @@ SELECT query_id, count(DISTINCT source) AS n_sources, count(*) AS n_docs
 FROM j GROUP BY 1
 """
     )
+
+
+# --- field sort -----------------------------------------------------------------
+# ES `sort` on a doc field (scores not computed): the conjunctive match
+# set ordered by (n_chars DESC, doc_id ASC), top-k.  Engine = match_ids
+# + fact join + one window — rank-pagination (`search_after`) composes
+# exactly as in bm25_topk_page because the sort key is total.
+
+SORT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 10),
+    (1, "table", 10),
+    (2, "the", 10),
+    (3, "zzqq", 10),
+]
+
+
+def sort_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SORT_QUERIES],
+            "text": [q[1] for q in SORT_QUERIES],
+            "k": [q[2] for q in SORT_QUERIES],
+        }
+    )
+
+
+def search_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    matches = QueryEngine(spark, idx).match_ids(sort_queries_pdf()[["query_id", "text"]])
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            sort_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        matches.join(docs, "doc_id")
+        .join(kdf, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "n_chars")
+    )
+
+
+def search_sort_oracle_sql() -> str:
+    qrows = []
+    for qid, text, k in SORT_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2),
+q(query_id, term, k) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms, max(k) AS k FROM q GROUP BY 1),
+m AS (
+  SELECT q.query_id, p.doc_id
+  FROM q JOIN post p ON p.term = q.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)
+),
+r AS (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY m.query_id ORDER BY d.n_chars DESC, m.doc_id ASC
+         ) AS rank
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT r.query_id, r.rank, r.doc_id, r.n_chars
+FROM r JOIN qn ON qn.query_id = r.query_id
+WHERE r.rank <= qn.k
+"""
 
 
 # --- rescore ------------------------------------------------------------------
@@ -4070,6 +4234,12 @@ def registry() -> dict[str, tuple]:
         # full Lucene wildcard pieces (*/? anywhere): dictionary-pruned
         # regex expansion; oracle = LIKE with *->%, ?->_
         "bm25_topk_wildcard": (bm25_wildcard, bm25_wildcard_oracle_sql()),
+        # ES regexp query: anchored full-match dictionary expansion;
+        # oracle = regexp_full_match over the same stats CTEs
+        "bm25_topk_regexp": (bm25_regexp, bm25_regexp_oracle_sql()),
+        # ES sort-by-field (scores skipped): match set ordered by
+        # (n_chars desc, doc_id) via match_ids + fact join + window
+        "search_sort": (search_sort, search_sort_oracle_sql()),
         # ES field collapsing: best hit per collapse-field value, top-k
         # groups; full-match kernel + fact join + two windows
         "bm25_topk_collapse": (bm25_collapse, bm25_collapse_oracle_sql()),

@@ -5243,6 +5243,66 @@ class QueryEngine:
             pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
         )
 
+    # -- regexp expansion --------------------------------------------------------
+
+    _REGEXP_META = set(".?*+()[]{}|\\^$")
+
+    def expand_regexps(self, patterns: list[str]) -> dict[str, list[str]]:
+        """Vocabulary terms FULLY matching each regular expression (the
+        ES/Lucene ``regexp`` query is implicitly anchored).  The
+        literal prefix before the first metacharacter drives the same
+        pushed-down dictionary range scan as :meth:`expand_prefixes`;
+        the fetched slice filters through the compiled regex.  A
+        pattern with no literal prefix degrades to a dictionary column
+        scan — the cost Lucene pays for an unanchorable automaton, and
+        still only the ``term`` column of the stats table."""
+        import pyarrow.dataset as pads
+
+        _, ts_dss = self._datasets()
+        out: dict[str, list[str]] = {}
+        for patt in sorted(set(patterns)):
+            lit = ""
+            for c in patt:
+                if c in self._REGEXP_META:
+                    break
+                lit += c
+            try:
+                rx = re.compile(patt)
+            except re.error as exc:
+                raise ValueError(f"invalid regexp pattern {patt!r}: {exc}") from exc
+            filt = None
+            if lit:
+                upper = lit[:-1] + chr(ord(lit[-1]) + 1)
+                filt = (pads.field("term") >= lit) & (pads.field("term") < upper)
+            terms: set[str] = set()
+            for ds in ts_dss:
+                t = ds.to_table(filter=filt, columns=["term"])
+                terms.update(
+                    v for v in t["term"].to_pylist() if rx.fullmatch(v)
+                )
+            out[patt] = sorted(terms)
+        return out
+
+    def topk_regexp(self, queries: pd.DataFrame, mode: str = "distributed") -> DataFrame:
+        """Disjunctive top-k for the ES ``regexp`` query: each query's
+        ``pattern`` expands against the term dictionary (full-match,
+        implicitly anchored — Lucene semantics) and the query scores as
+        the OR of all expanded terms, the same exact-scoring
+        MultiTermQuery rewrite as :meth:`topk_prefix` /
+        :meth:`topk_wildcard`.  Works on any index (no positions).
+        ``queries`` = (query_id, pattern, k)."""
+        pats = sorted(set(queries["pattern"]))
+        expansion = self.expand_regexps(pats)
+        rows = []
+        for r in queries.itertuples(index=False):
+            for t in expansion.get(r.pattern, []):
+                rows.append((int(r.query_id), t, int(r.k)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self._topk_expanded(
+            pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
+        )
+
     # -- field collapsing ------------------------------------------------------
 
     def topk_collapse(

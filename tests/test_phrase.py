@@ -1384,3 +1384,52 @@ def test_suggest_phrases_matches_brute_all_paths(
         eng.suggest_phrases(
             pd.DataFrame({"query_id": [0], "text": ["only"]})
         )
+
+
+def test_regexp_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir):
+    """topk_regexp == brute disjunctive BM25 over the independently
+    computed anchored-full-match vocabulary expansion."""
+    import re as _re
+
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    vocab = sorted({t for txt in corpus_pdf["text"] for t in tokenize_py(txt)})
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "pattern": ["th.", "wat.r", "(the|of)", "zzq.*"],
+            "k": [10, 10, 10, 10],
+        }
+    )
+
+    def expand(q):
+        rx = _re.compile(q.pattern)
+        return [v for v in vocab if rx.fullmatch(v)]
+
+    def match(q, t):
+        return bool(set(expand(q)) & set(t))
+
+    exp = _brute_filtered_topk(corpus_pdf, queries, match, terms_fn=expand)
+    eng = QueryEngine(spark, pos_index_dir)
+    got = (
+        eng.topk_regexp(queries)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    # anchoring: "th." must NOT match "the..." longer terms like "they"
+    assert "they" not in expand(queries.iloc[[0]].itertuples(index=False).__next__())
+    # local path identical
+    loc = eng.topk_regexp(queries, mode="local").toPandas()
+    pd.testing.assert_frame_equal(
+        loc.sort_values(["query_id", "rank"]).reset_index(drop=True), got
+    )
+    with pytest.raises(ValueError, match="invalid regexp"):
+        eng.topk_regexp(
+            pd.DataFrame({"query_id": [0], "pattern": ["(unclosed"], "k": [5]})
+        )
