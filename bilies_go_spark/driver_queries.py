@@ -3516,6 +3516,116 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- span_or (Lucene SpanOrQuery inside span_near) ----------------------------
+# Ordered span whose clauses are alternations: "hash|table join" =
+# (hash OR table) immediately/within-slop before join.  The chain DP
+# is alternation-agnostic over per-clause key unions; scoring = BM25
+# over the distinct clause terms the doc contains (same rule as the
+# plain span oracle).
+
+SPAN_OR_QUERIES: list[tuple[int, str, int, int]] = [
+    # (query_id, text, slop, k)
+    (0, "hash|table join", 0, 10),   # adjacency, alternation first slot
+    (1, "the scan|merge", 2, 10),    # hot first slot, alternation second
+    (2, "dup|zzqq value", 1, 10),    # one vocabulary-absent alternative
+    (3, "zzqa|zzqb the", 0, 10),     # whole clause absent -> empty
+]
+
+
+def span_or_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SPAN_OR_QUERIES],
+            "text": [q[1] for q in SPAN_OR_QUERIES],
+            "slop": [q[2] for q in SPAN_OR_QUERIES],
+            "k": [q[3] for q in SPAN_OR_QUERIES],
+        }
+    )
+
+
+def bm25_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_span_or(span_or_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            span_or_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_span_or_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qt_rows, sel_parts = [], []
+    for qid, text, slop, k in SPAN_OR_QUERIES:
+        clauses = [
+            sorted({tokenize_py(a)[0] for a in piece.split("|")})
+            for piece in text.split()
+        ]
+        n = len(clauses)
+        for t in sorted({t for cl in clauses for t in cl}):
+            qt_rows.append(f"({qid}, '{t}', {k})")
+        joins = []
+        for j in range(2, n + 1):
+            inl = ", ".join(f"'{t}'" for t in clauses[j - 1])
+            joins.append(
+                f"JOIN posn p{j} ON p{j}.doc_id = p1.doc_id"
+                f" AND p{j}.term IN ({inl})"
+                f" AND p{j}.pos > p{j - 1}.pos"
+                f" AND p{j}.pos - p1.pos <= {slop + n - 1}"
+            )
+        in1 = ", ".join(f"'{t}'" for t in clauses[0])
+        sel_parts.append(
+            f"SELECT {qid} AS query_id, p1.doc_id FROM posn p1 "
+            + " ".join(joins)
+            + f" WHERE p1.term IN ({in1}) GROUP BY 2"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tkd AS (SELECT doc_id, {duck_tokens()} AS tk FROM documents),
+posn AS (
+  SELECT doc_id, d.tk[g.i] AS term, g.i - 1 AS pos
+  FROM tkd d, unnest(generate_series(1, len(d.tk))) AS g(i)
+),
+q(query_id, term, k) AS (VALUES {", ".join(qt_rows)}),
+sm AS ({" UNION ALL ".join(sel_parts)}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE EXISTS (
+    SELECT 1 FROM sm WHERE sm.query_id = q.query_id AND sm.doc_id = p.doc_id
+  )
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- span_first (Lucene SpanFirstQuery) ---------------------------------------
 # The ordered span must lie entirely within the doc's first `first`
 # tokens (exclusive span end <= first, 0-based — the Lucene `end`
@@ -4333,6 +4443,9 @@ def registry() -> dict[str, tuple]:
         # Lucene span_near(in_order=true): ordered occurrence chain
         # within slop, vectorized chain DP vs an inequality-join oracle
         "bm25_topk_span": (bm25_span, bm25_span_oracle_sql()),
+        # Lucene span_or inside span_near: per-clause alternations via
+        # key unions; oracle = IN-list position chain joins
+        "bm25_topk_span_or": (bm25_span_or, bm25_span_or_oracle_sql()),
         # Lucene span_first: span confined to the doc's first N tokens
         # (position mask before chain verification)
         "bm25_topk_span_first": (bm25_span_first, bm25_span_first_oracle_sql()),

@@ -2235,6 +2235,210 @@ def highlight_query_kernel(
     )
 
 
+def _clause_union_keys(keys_by_term: dict, clause: list) -> np.ndarray:
+    """Sorted composite-key union of one span_or clause's alternative
+    terms.  Keys are (doc, pos) slots, so arrays from distinct terms
+    are disjoint — a concat + sort IS the union."""
+    parts = [keys_by_term[t] for t in clause if t in keys_by_term]
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    out = np.concatenate(parts)
+    out.sort()
+    return out
+
+
+def span_or_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """Ordered span top-k with per-clause ALTERNATION — Lucene
+    ``span_near(in_order=true)`` over ``span_or`` clauses: clause i
+    matches any of its alternative terms, and the clauses must occur
+    at strictly increasing positions in clause order within ``slop``
+    total gap.  The chain DP (:func:`_verify_span_ordered`) is
+    alternation-agnostic — it runs unchanged over per-clause KEY
+    UNIONS.  BM25-scored over the distinct clause terms the doc
+    contains (pinned fold, same rule as the span oracle's per-term
+    joins).
+
+    Candidates: per-clause doc-id UNIONS intersect across clauses
+    (cheapest clause first — decoded fully; later clauses decode only
+    candidate-bearing blocks).  A clause whose every alternative is
+    vocabulary-absent empties the query; an absent alternative inside
+    a surviving clause is fine.
+
+    Expects constant ``slop``, ``first`` and ``cseq`` (JSON list of
+    clause LISTS) columns."""
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    first = int(pdf["first"].iloc[0]) if "first" in pdf.columns else 0
+    clauses = [[str(t) for t in cl] for cl in json.loads(pdf["cseq"].iloc[0])]
+    stats = stats if stats is not None else KernelStats()
+
+    per_term: dict[str, dict] = {}
+    for term, rows in pdf.groupby("term", sort=True):
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        if not all(seg.has_positions for seg in runs):
+            raise ValueError(
+                "span queries require an index built with BuildConfig(positions=True)"
+            )
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+
+    cl_terms = [[t for t in cl if t in per_term] for cl in clauses]
+    if any(not ct for ct in cl_terms):
+        return empty  # a clause with no vocabulary alternative
+    order = sorted(
+        range(len(cl_terms)), key=lambda i: sum(per_term[t]["df"] for t in cl_terms[i])
+    )
+    quads: dict[str, tuple] = {}
+    cand: np.ndarray | None = None
+    for ci in order:
+        for t in cl_terms[ci]:
+            if t in quads:
+                continue
+            tparts = []
+            for seg in per_term[t]["runs"]:
+                mask = (
+                    None if cand is None else _seg_blocks_with_candidates(seg, cand)
+                )
+                if mask is None or mask.any():
+                    tparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
+                    stats.blocks_decoded += (
+                        len(seg.block_last_doc_id) if mask is None else int(mask.sum())
+                    )
+            tparts = [p for p in tparts if p[0].size]
+            if tparts:
+                quads[t] = (
+                    tparts[0]
+                    if len(tparts) == 1
+                    else tuple(np.concatenate([p[i] for p in tparts]) for i in range(4))
+                )
+        docs_u = [quads[t][0] for t in cl_terms[ci] if t in quads]
+        if not docs_u:
+            return empty
+        u = np.unique(np.concatenate(docs_u)) if len(docs_u) > 1 else np.sort(docs_u[0])
+        cand = u if cand is None else _intersect_sorted_i64(cand, u)
+        if cand.size == 0:
+            return empty
+    for t in list(quads):
+        quads[t] = _restrict_quad(quads[t], cand)
+        if quads[t][3].size and int(quads[t][3].max()) >= PHRASE_POS_STRIDE:
+            raise ValueError("document longer than 2^21 tokens — position key overflow")
+    keys_by_term = {}
+    for t, (ids, tfs, _dls, pos) in quads.items():
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    keys_cl = [_clause_union_keys(keys_by_term, cl) for cl in cl_terms]
+    matched = _verify_span_ordered(_first_mask_keys(keys_cl, first), slop)
+    if matched.size == 0:
+        return empty
+    terms = sorted(t for t in quads if quads[t][0].size)
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def _span_or_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """span_or scoring for one (query, shard): decode every slice with
+    positions, keep docs in [lo, hi), per-clause key unions, chain
+    verification, fold, shard top-k.  Shard-exact like
+    :func:`_span_shard`; a CLAUSE with no live alternative in the
+    shard empties the shard (no doc there can complete the chain),
+    while an absent single alternative is fine."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    first = int(pdf["first"].iloc[0]) if "first" in pdf.columns else 0
+    clauses = [[str(t) for t in cl] for cl in json.loads(pdf["cseq"].iloc[0])]
+    per_term, quads = {}, {}
+    for term, rows in pdf.groupby("term", sort=True):
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+        }
+        quad = _decode_slice_quad(rows, lo, hi, deleted)
+        if quad is not None:
+            quads[term] = quad
+    keys_by_term = {}
+    for t, (ids, tfs, _dls, pos) in quads.items():
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    keys_cl = []
+    for cl in clauses:
+        u = _clause_union_keys(keys_by_term, cl)
+        if u.size == 0:
+            return empty
+        keys_cl.append(u)
+    matched = _verify_span_ordered(_first_mask_keys(keys_cl, first), slop)
+    if matched.size == 0:
+        return empty
+    terms = sorted(quads)
+    decoded = {t: quads[t][:3] for t in terms}
+    doc, acc = _merge_accumulate(decoded, per_term, terms, avgdl, k1, b, cand=matched)
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 def proximity_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -4412,6 +4616,185 @@ class QueryEngine:
             shard_kernel, schema=TOPK_SCHEMA
         )
         return self._merge_shard_topk(partial, queries)
+
+    def topk_span_or(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
+        """Ordered span top-k with per-clause ALTERNATION — Lucene
+        ``span_near(in_order=true)`` whose clauses are ``span_or``s of
+        terms.  Query text: whitespace-separated clauses, alternatives
+        joined by ``|`` (``\"hash|table join\"`` = (hash OR table) then
+        join).  Per-query ``slop`` (default 0) and optional ``first``
+        (span_first end limit) columns as in :meth:`topk_span_near`.
+        The chain DP runs unchanged over per-clause key unions; BM25
+        over the distinct clause terms the doc contains.  Same three
+        result-identical paths as every positional surface."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "span queries need an index built with BuildConfig(positions=True)"
+            )
+        has_slop = "slop" in queries.columns
+        has_first = "first" in queries.columns
+        rows = []
+        cl_map: dict[int, list[list[str]]] = {}
+        for r in queries.itertuples(index=False):
+            clauses: list[list[str]] = []
+            for piece in str(r.text).split():
+                alts = []
+                for alt in piece.split("|"):
+                    toks = tokenize_py(alt)
+                    if len(toks) != 1:
+                        raise ValueError(
+                            f"span_or alternative {alt!r} is not a single term"
+                        )
+                    alts.append(toks[0])
+                clauses.append(sorted(set(alts)))
+            if not clauses:
+                continue
+            cl_map[int(r.query_id)] = clauses
+            slop = int(getattr(r, "slop", 0) or 0) if has_slop else 0
+            first = int(getattr(r, "first", 0) or 0) if has_first else 0
+            spec = json.dumps(clauses)
+            for t in sorted({t for cl in clauses for t in cl}):
+                rows.append((int(r.query_id), t, int(r.k), slop, spec, first))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(
+            rows, columns=["query_id", "term", "k", "slop", "cseq", "first"]
+        )
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if n_shards > 1 or (mode != "local" and n_shards == 1):
+            qt = self.spark.createDataFrame(
+                qt_pdf,
+                schema="query_id bigint, term string, k int, slop int, "
+                "cseq string, first int",
+            )
+            terms = sorted(qt_pdf["term"].unique())
+            buckets = sorted(
+                {term_bucket_py(t, self.meta["n_buckets"]) for t in terms}
+            )
+            segs = self._segments_df(terms, buckets)
+            tstats = self._tstats_df(terms, buckets)
+            joined = segs.join(F.broadcast(qt), "term").join(
+                F.broadcast(tstats), "term"
+            )
+            k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+            margin = self.tie_margin
+            deleted = self.deleted
+            if n_shards > 1:
+                bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+                bounds[-1] = np.iinfo(np.int64).max
+                slice_schema = (
+                    "query_id bigint, k int, slop int, cseq string, first int, "
+                    "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+                    + ", positions_vb binary"
+                )
+
+                def slicer(batches):
+                    for pdf in batches:
+                        out = _slice_segments_by_shard_pos(
+                            pdf, bounds, extra_cols=("slop", "cseq", "first")
+                        )
+                        if out is not None:
+                            yield out
+
+                sliced = joined.mapInPandas(slicer, schema=slice_schema)
+
+                def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                    lo = int(bounds[key[1]])
+                    hi = int(bounds[key[1] + 1])
+                    return _span_or_shard(
+                        pdf, lo, hi, k1, b, n_docs, avgdl,
+                        deleted=deleted, tie_margin=margin,
+                    )
+
+                partial = sliced.groupBy("query_id", "shard").applyInPandas(
+                    shard_kernel, schema=TOPK_SCHEMA
+                )
+                return self._merge_shard_topk(partial, queries)
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                import bilies_go_spark
+
+                need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+                bilies_go_spark.prefault_heap(min(need, 384 << 20))
+                return span_or_query_kernel(
+                    pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+                )
+
+            return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+        # -- driver serving path ------------------------------------------------
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+        seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+        outs = []
+        for qid, qrows in qt_pdf.groupby("query_id", sort=True):
+            clauses = cl_map[int(qid)]
+            entries, df_map = {}, {}
+            for t in sorted({t for cl in clauses for t in cl}):
+                rws = seg_pdf[seg_pdf["term"] == t] if not seg_pdf.empty else seg_pdf
+                if rws is None or len(rws) == 0:
+                    continue
+                ent = self._pos_entry(t, rws)
+                if ent[0].size == 0:
+                    continue
+                entries[t] = ent
+                df_map[t] = int(rws["df"].iloc[0])
+            keys_by_term = {t: entries[t][3] for t in entries}
+            keys_cl = []
+            ok = True
+            for cl in clauses:
+                u = _clause_union_keys(keys_by_term, cl)
+                if u.size == 0:
+                    ok = False
+                    break
+                keys_cl.append(u)
+            if not ok:
+                continue
+            first = int(qrows["first"].iloc[0])
+            matched = _verify_span_ordered(
+                _first_mask_keys(keys_cl, first), int(qrows["slop"].iloc[0])
+            )
+            if matched.size == 0:
+                continue
+            terms = sorted(entries)
+            per_term = {
+                t: {
+                    "idf": float(
+                        np.log1p((self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                    )
+                }
+                for t in terms
+            }
+            decoded = {t: _restrict_triple(entries[t][:3], matched) for t in terms}
+            doc, acc = _merge_accumulate(
+                decoded, per_term, terms, self.avgdl, self.k1, self.b, cand=matched
+            )
+            if doc.size == 0:
+                continue
+            sel = _topk_select(doc, acc, int(qrows["k"].iloc[0]), tie_margin=self.tie_margin)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(sel.size, int(qid), dtype=np.int64),
+                        "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                        "doc_id": doc[sel],
+                        "score": acc[sel],
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True) if outs else empty
+        if out.empty:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
 
     def topk_proximity(
         self,

@@ -1433,3 +1433,93 @@ def test_regexp_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir
         eng.topk_regexp(
             pd.DataFrame({"query_id": [0], "pattern": ["(unclosed"], "k": [5]})
         )
+
+
+def _has_ordered_span_or(t, clauses, slop):
+    """Brute: strictly increasing positions, one per clause in order,
+    clause i matching ANY of its alternatives, window <= len + slop."""
+    n = len(clauses)
+
+    def rec(ci, prev_pos, start):
+        if ci == n:
+            return True
+        for p in range(prev_pos + 1, len(t)):
+            if t[p] in clauses[ci]:
+                if ci == n - 1 and (p - start + 1) - n > slop:
+                    continue
+                if (p - start + 1) - n > slop:
+                    break
+                if rec(ci + 1, p, start):
+                    return True
+        return False
+
+    for s in range(len(t)):
+        if t[s] in clauses[0] and rec(1, s, s):
+            return True
+    return False
+
+
+def test_span_or_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["the|of and", "you that|he", "the zzqx|of", "zzqa|zzqb the"],
+            "slop": [1, 3, 0, 0],
+            "k": [10, 10, 10, 10],
+        }
+    )
+
+    def match(q, t):
+        clauses = [
+            {tokenize_py(a)[0] for a in piece.split("|")}
+            for piece in q.text.split()
+        ]
+        return _has_ordered_span_or(t, clauses, int(q.slop))
+
+    def terms(q):
+        return [
+            tokenize_py(a)[0] for piece in q.text.split() for a in piece.split("|")
+        ]
+
+    exp = _brute_filtered_topk(corpus_pdf, qs, match, terms_fn=terms)
+    eng = QueryEngine(spark, pos_index_dir)
+    key = ["query_id", "rank"]
+
+    def chk(got):
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e)
+        assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), e["score"].to_numpy(), rtol=0, atol=1e-9
+        )
+
+    dist = eng.topk_span_or(qs, n_shards=1).toPandas()
+    chk(dist)
+    chk(eng.topk_span_or(qs, n_shards=1, mode="local").toPandas())
+    shard = eng.topk_span_or(qs, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
+    per_q = exp.groupby("query_id").size()
+    assert per_q.get(0, 0) > 0 and per_q.get(1, 0) > 0
+    assert per_q.get(2, 0) > 0  # absent alternative inside a live clause
+    assert per_q.get(3, 0) == 0  # whole clause absent
+    # alternation must widen the match set vs the single-term span
+    wide = _brute_filtered_topk(
+        corpus_pdf, qs.assign(k=10_000).iloc[[0]], match, terms_fn=terms
+    )
+    narrow_q = pd.DataFrame(
+        {"query_id": [0], "text": ["the and"], "slop": [1], "k": [10_000]}
+    )
+    narrow = _brute_filtered_topk(
+        corpus_pdf,
+        narrow_q,
+        lambda q, t: _has_ordered_span_or(
+            t, [{"the"}, {"and"}], 1
+        ),
+        terms_fn=lambda q: ["the", "and"],
+    )
+    assert len(wide) > len(narrow)
