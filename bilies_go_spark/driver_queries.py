@@ -3626,6 +3626,106 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- span_not (Lucene SpanNotQuery) --------------------------------------------
+# Ordered two-clause include span minus matches whose span interval
+# contains the exclude term (endpoints inclusive, pre/post = 0).  BM25
+# over the include terms; an absent exclude term excludes nothing.
+
+SPAN_NOT_QUERIES: list[tuple[int, str, str, int, int]] = [
+    # (query_id, include_text, exclude, slop, k)
+    (0, "hash join", "the", 2, 10),     # exclusion inside widened spans
+    (1, "the scan", "of", 3, 10),       # hot include + hot exclude
+    (2, "table query", "zzqq", 2, 10),  # absent exclude == plain span
+    (3, "zzqa table", "the", 1, 10),    # include term absent -> empty
+]
+
+
+def span_not_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SPAN_NOT_QUERIES],
+            "text": [q[1] for q in SPAN_NOT_QUERIES],
+            "exclude": [q[2] for q in SPAN_NOT_QUERIES],
+            "slop": [q[3] for q in SPAN_NOT_QUERIES],
+            "k": [q[4] for q in SPAN_NOT_QUERIES],
+        }
+    )
+
+
+def bm25_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_span_not(span_not_queries_pdf())
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            span_not_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_span_not_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qt_rows, sel_parts = [], []
+    for qid, text, exclude, slop, k in SPAN_NOT_QUERIES:
+        t1, t2 = tokenize_py(text)
+        (xt,) = tokenize_py(exclude)
+        for t in sorted({t1, t2}):
+            qt_rows.append(f"({qid}, '{t}', {k})")
+        sel_parts.append(
+            f"SELECT {qid} AS query_id, p1.doc_id FROM posn p1 "
+            f"JOIN posn p2 ON p2.doc_id = p1.doc_id AND p2.term = '{t2}' "
+            f"AND p2.pos > p1.pos AND p2.pos - p1.pos <= {slop + 1} "
+            f"WHERE p1.term = '{t1}' AND NOT EXISTS ("
+            f"  SELECT 1 FROM posn x WHERE x.doc_id = p1.doc_id"
+            f"  AND x.term = '{xt}' AND x.pos BETWEEN p1.pos AND p2.pos"
+            f") GROUP BY 2"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+tkd AS (SELECT doc_id, {duck_tokens()} AS tk FROM documents),
+posn AS (
+  SELECT doc_id, d.tk[g.i] AS term, g.i - 1 AS pos
+  FROM tkd d, unnest(generate_series(1, len(d.tk))) AS g(i)
+),
+q(query_id, term, k) AS (VALUES {", ".join(qt_rows)}),
+sm AS ({" UNION ALL ".join(sel_parts)}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  WHERE EXISTS (
+    SELECT 1 FROM sm WHERE sm.query_id = q.query_id AND sm.doc_id = p.doc_id
+  )
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- span_first (Lucene SpanFirstQuery) ---------------------------------------
 # The ordered span must lie entirely within the doc's first `first`
 # tokens (exclusive span end <= first, 0-based — the Lucene `end`
@@ -4446,6 +4546,9 @@ def registry() -> dict[str, tuple]:
         # Lucene span_or inside span_near: per-clause alternations via
         # key unions; oracle = IN-list position chain joins
         "bm25_topk_span_or": (bm25_span_or, bm25_span_or_oracle_sql()),
+        # Lucene span_not: include span minus exclude-term overlap;
+        # oracle = chain join + correlated NOT EXISTS on the interval
+        "bm25_topk_span_not": (bm25_span_not, bm25_span_not_oracle_sql()),
         # Lucene span_first: span confined to the doc's first N tokens
         # (position mask before chain verification)
         "bm25_topk_span_first": (bm25_span_first, bm25_span_first_oracle_sql()),

@@ -2439,6 +2439,236 @@ def _span_or_shard(
     )
 
 
+def _span_not_matched(
+    keys1: np.ndarray, keys2: np.ndarray, keysx: np.ndarray, slop: int
+) -> np.ndarray:
+    """Docs containing a CLEAN ordered pair (Lucene ``span_not``):
+    positions p1 < p2 of the two include clauses with
+    ``(p2 - p1 + 1) - 2 <= slop`` and NO exclude occurrence x with
+    ``p1 <= x <= p2``.  All three arrays are pre-sorted composite
+    (doc·2^21 + pos) keys.
+
+    Exactness of the latest-predecessor rule: for a fixed chain end e,
+    the LATEST valid start s* yields the minimal interval [s*, e]; any
+    other valid start s < s* spans a superset [s, e] ⊇ [s*, e], so if
+    [s*, e] contains an exclude occurrence every alternative does too
+    — checking s* alone decides e.  One searchsorted per array, no
+    per-pair loop."""
+    e = np.empty(0, dtype=np.int64)
+    if keys1.size == 0 or keys2.size == 0:
+        return e
+    idx = np.searchsorted(keys1, keys2, side="left") - 1
+    ok = idx >= 0
+    if not ok.any():
+        return e
+    s_key = keys1[np.maximum(idx, 0)]
+    same_doc = (s_key >> PHRASE_POS_SHIFT) == (keys2 >> PHRASE_POS_SHIFT)
+    within = (keys2 - s_key) <= (slop + 1)
+    ok &= same_doc & within & (s_key < keys2)
+    if not ok.any():
+        return e
+    starts = s_key[ok]
+    ends = keys2[ok]
+    if keysx.size:
+        lo = np.searchsorted(keysx, starts, side="left")
+        hi = np.searchsorted(keysx, ends, side="right")
+        clean = hi == lo
+        starts, ends = starts[clean], ends[clean]
+    if ends.size == 0:
+        return e
+    docs = ends >> PHRASE_POS_SHIFT  # ends stayed sorted
+    return docs[np.concatenate([[True], docs[1:] != docs[:-1]])]
+
+
+def span_not_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """Lucene ``span_not`` top-k: docs containing an ordered two-clause
+    include span (within ``slop``) with NO occurrence of the exclude
+    term inside the span (endpoints inclusive — Lucene overlap
+    semantics).  BM25-scored over the distinct INCLUDE terms (the
+    exclude term never scores).
+
+    Plan: conjunctive candidates over the include terms, exclude
+    postings decode only candidate-bearing blocks, then the
+    latest-predecessor clean-pair rule (:func:`_span_not_matched`).
+    A vocabulary-absent exclude term excludes nothing (every include
+    span is clean).
+
+    Expects constant ``slop``, ``cseq`` (JSON [t1, t2]) and ``xterm``
+    columns plus ``is_excl`` per row and ``n_terms`` (distinct include
+    count)."""
+    from bilies_go_spark.operators.codec import decode_masked_pos
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
+    xterm = str(pdf["xterm"].iloc[0])
+    n_expected = int(pdf["n_terms"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    per_term: dict[str, dict] = {}
+    excl_rows = None
+    for term, rows in pdf.groupby("term", sort=True):
+        if int(rows["is_excl"].iloc[0]) and term == xterm and term not in cseq:
+            excl_rows = rows
+            continue
+        dfreq = int(rows["df"].iloc[0])
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+            "runs": runs,
+        }
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+    inc_terms = sorted(set(cseq))
+    if len([t for t in inc_terms if t in per_term]) < n_expected:
+        return empty
+    cand, quads = _positional_candidates(per_term, inc_terms, stats, deleted)
+    if cand.size == 0:
+        return empty
+    keys_by_term = {}
+    for t in inc_terms:
+        ids, tfs, _dls, pos = quads[t]
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    keysx = np.empty(0, dtype=np.int64)
+    src = excl_rows if excl_rows is not None else None
+    if xterm in quads:  # exclude term is also an include term
+        keysx = keys_by_term[xterm]
+    elif src is not None:
+        xparts = []
+        for _, r in src.iterrows():
+            seg = row_to_segment(r)
+            mask = _seg_blocks_with_candidates(seg, cand)
+            if mask.any():
+                xparts.append(_alive_quad(decode_masked_pos(seg, mask), deleted))
+                stats.blocks_decoded += int(mask.sum())
+        xparts = [p for p in xparts if p[0].size]
+        if xparts:
+            xq = (
+                xparts[0]
+                if len(xparts) == 1
+                else tuple(np.concatenate([p[i] for p in xparts]) for i in range(4))
+            )
+            kx = np.repeat(xq[0], xq[1]) * PHRASE_POS_STRIDE + xq[3]
+            kx.sort()
+            keysx = kx
+    matched = _span_not_matched(
+        keys_by_term[cseq[0]], keys_by_term[cseq[1]], keysx, slop
+    )
+    if matched.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in inc_terms}
+    doc, acc = _merge_accumulate(
+        decoded, per_term, inc_terms, avgdl, k1, b, cand=matched
+    )
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
+def _span_not_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """span_not scoring for one (query, shard): clean-pair rule over
+    the sliced streams.  Shard-exact — the include chain AND the
+    exclude occurrences of a doc all land in its shard, so per-shard
+    verification equals global; a missing INCLUDE term empties the
+    shard, a missing exclude term excludes nothing."""
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    slop = int(pdf["slop"].iloc[0])
+    cseq = [str(t) for t in json.loads(pdf["cseq"].iloc[0])]
+    xterm = str(pdf["xterm"].iloc[0])
+    inc_terms = sorted(set(cseq))
+    per_term, quads = {}, {}
+    keysx = np.empty(0, dtype=np.int64)
+    for term, rows in pdf.groupby("term", sort=True):
+        is_excl_only = bool(int(rows["is_excl"].iloc[0])) and term not in cseq
+        quad = _decode_slice_quad(rows, lo, hi, deleted)
+        if quad is None:
+            if not is_excl_only:
+                return empty  # include term absent in shard
+            continue
+        if is_excl_only:
+            kx = np.repeat(quad[0], quad[1]) * PHRASE_POS_STRIDE + quad[3]
+            kx.sort()
+            keysx = kx
+            continue
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5))),
+            "df": dfreq,
+        }
+        quads[term] = quad
+    if len(quads) < len(inc_terms):
+        return empty
+    keys_by_term = {}
+    for t in inc_terms:
+        ids, tfs, _dls, pos = quads[t]
+        kt = np.repeat(ids, tfs) * PHRASE_POS_STRIDE + pos
+        kt.sort()
+        keys_by_term[t] = kt
+    if xterm in quads:
+        keysx = keys_by_term[xterm]
+    matched = _span_not_matched(
+        keys_by_term[cseq[0]], keys_by_term[cseq[1]], keysx, slop
+    )
+    if matched.size == 0:
+        return empty
+    decoded = {t: quads[t][:3] for t in inc_terms}
+    doc, acc = _merge_accumulate(
+        decoded, per_term, inc_terms, avgdl, k1, b, cand=matched
+    )
+    if doc.size == 0:
+        return empty
+    sel = _topk_select(doc, acc, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": doc[sel],
+            "score": acc[sel],
+        }
+    )
+
+
 def proximity_query_kernel(
     pdf: pd.DataFrame,
     k1: float,
@@ -4795,6 +5025,194 @@ class QueryEngine:
         if out.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+
+    def topk_span_not(
+        self,
+        queries: pd.DataFrame,
+        mode: str = "distributed",
+        n_shards: int | None = None,
+    ) -> DataFrame:
+        """Lucene ``span_not`` top-k: an ordered TWO-clause include span
+        (``text`` analyzes to exactly two tokens; per-query ``slop``,
+        default 0) minus matches whose span contains an occurrence of
+        the ``exclude`` term (endpoints inclusive — Lucene overlap
+        semantics, pre/post = 0).  BM25 over the include terms only; a
+        vocabulary-absent exclude term excludes nothing.  Three
+        result-identical paths as every positional surface; the
+        verification is ONE shared helper (:func:`_span_not_matched`)
+        on all of them."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        if not self.meta.get("positions", False):
+            raise ValueError(
+                "span queries need an index built with BuildConfig(positions=True)"
+            )
+        has_slop = "slop" in queries.columns
+        rows = []
+        specs: dict[int, tuple[list[str], str, int]] = {}
+        for r in queries.itertuples(index=False):
+            cseq = tokenize_py(r.text)
+            if len(cseq) != 2:
+                raise ValueError(
+                    f"span_not include span must be exactly two tokens: {r.text!r}"
+                )
+            xtoks = tokenize_py(r.exclude)
+            if len(xtoks) != 1:
+                raise ValueError(
+                    f"span_not exclude must be a single term: {r.exclude!r}"
+                )
+            xterm = xtoks[0]
+            slop = int(getattr(r, "slop", 0) or 0) if has_slop else 0
+            specs[int(r.query_id)] = (cseq, xterm, slop)
+            spec = json.dumps(cseq)
+            n_inc = len(set(cseq))
+            for t in sorted(set(cseq) | {xterm}):
+                rows.append(
+                    (
+                        int(r.query_id), t, int(r.k), n_inc, slop, spec, xterm,
+                        int(t == xterm),
+                    )
+                )
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "query_id", "term", "k", "n_terms", "slop", "cseq", "xterm",
+                "is_excl",
+            ],
+        )
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if mode == "local" and n_shards == 1:
+            empty = pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"}
+            )
+            seg_pdf = self._seg_rows(sorted(qt_pdf["term"].unique()))
+            outs = []
+            for qid, (cseq, xterm, slop) in sorted(specs.items()):
+                inc_terms = sorted(set(cseq))
+                entries, df_map, ok = {}, {}, True
+                for t in sorted(set(inc_terms) | {xterm}):
+                    rws = (
+                        seg_pdf[seg_pdf["term"] == t] if not seg_pdf.empty else seg_pdf
+                    )
+                    if rws is None or len(rws) == 0:
+                        if t in inc_terms:
+                            ok = False
+                            break
+                        continue
+                    ent = self._pos_entry(t, rws)
+                    if ent[0].size == 0 and t in inc_terms:
+                        ok = False
+                        break
+                    entries[t] = ent
+                    df_map[t] = int(rws["df"].iloc[0])
+                if not ok:
+                    continue
+                keysx = entries[xterm][3] if xterm in entries else np.empty(
+                    0, dtype=np.int64
+                )
+                matched = _span_not_matched(
+                    entries[cseq[0]][3], entries[cseq[1]][3], keysx, slop
+                )
+                if matched.size == 0:
+                    continue
+                per_term = {
+                    t: {
+                        "idf": float(
+                            np.log1p(
+                                (self.n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)
+                            )
+                        )
+                    }
+                    for t in inc_terms
+                }
+                decoded = {
+                    t: _restrict_triple(entries[t][:3], matched) for t in inc_terms
+                }
+                doc, acc = _merge_accumulate(
+                    decoded, per_term, inc_terms, self.avgdl, self.k1, self.b,
+                    cand=matched,
+                )
+                if doc.size == 0:
+                    continue
+                kq = int(qt_pdf[qt_pdf["query_id"] == qid]["k"].iloc[0])
+                sel = _topk_select(doc, acc, kq, tie_margin=self.tie_margin)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(sel.size, qid, dtype=np.int64),
+                            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+                            "doc_id": doc[sel],
+                            "score": acc[sel],
+                        }
+                    )
+                )
+            out = pd.concat(outs, ignore_index=True) if outs else empty
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, n_terms int, slop int, "
+            "cseq string, xterm string, is_excl int",
+        )
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+        if n_shards > 1:
+            bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+            bounds[-1] = np.iinfo(np.int64).max
+            slice_schema = (
+                "query_id bigint, k int, n_terms int, slop int, cseq string, "
+                "xterm string, is_excl int, term string, df bigint, shard int, "
+                + SEGMENT_SLICE_FIELDS + ", positions_vb binary"
+            )
+
+            def slicer(batches):
+                for pdf in batches:
+                    out = _slice_segments_by_shard_pos(
+                        pdf,
+                        bounds,
+                        extra_cols=("n_terms", "slop", "cseq", "xterm", "is_excl"),
+                    )
+                    if out is not None:
+                        yield out
+
+            sliced = joined.mapInPandas(slicer, schema=slice_schema)
+
+            def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                lo = int(bounds[key[1]])
+                hi = int(bounds[key[1] + 1])
+                return _span_not_shard(
+                    pdf, lo, hi, k1, b, n_docs, avgdl,
+                    deleted=deleted, tie_margin=margin,
+                )
+
+            partial = sliced.groupBy("query_id", "shard").applyInPandas(
+                shard_kernel, schema=TOPK_SCHEMA
+            )
+            return self._merge_shard_topk(partial, queries)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return span_not_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
 
     def topk_proximity(
         self,

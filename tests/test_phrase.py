@@ -1523,3 +1523,70 @@ def test_span_or_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
         terms_fn=lambda q: ["the", "and"],
     )
     assert len(wide) > len(narrow)
+
+
+def test_span_not_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
+    """span_not == brute: ordered include pair within slop with NO
+    exclude occurrence inside [p1, p2]; exclusion must actually fire
+    on the fixture; absent exclude == plain span."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["the of", "you he", "the of", "zzqa the"],
+            "exclude": ["and", "that", "zzqx", "of"],
+            "slop": [3, 4, 3, 1],
+            "k": [10, 10, 10, 10],
+        }
+    )
+
+    def match(q, t):
+        t1, t2 = tokenize_py(q.text)
+        (xt,) = tokenize_py(q.exclude)
+        slop = int(q.slop)
+        for i, a in enumerate(t):
+            if a != t1:
+                continue
+            for j in range(i + 1, min(i + slop + 2, len(t))):
+                if t[j] == t2 and xt not in t[i : j + 1]:
+                    return True
+        return False
+
+    def terms(q):
+        return tokenize_py(q.text)
+
+    exp = _brute_filtered_topk(corpus_pdf, qs, match, terms_fn=terms)
+    eng = QueryEngine(spark, pos_index_dir)
+    key = ["query_id", "rank"]
+
+    def chk(got):
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e)
+        assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), e["score"].to_numpy(), rtol=0, atol=1e-9
+        )
+
+    dist = eng.topk_span_not(qs, n_shards=1).toPandas()
+    chk(dist)
+    chk(eng.topk_span_not(qs, n_shards=1, mode="local").toPandas())
+    shard = eng.topk_span_not(qs, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        shard.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
+    # exclusion must genuinely remove docs: q0 (exclude "and") must be
+    # a strict subset of q2 (absent exclude, same include span)
+    full = _brute_filtered_topk(corpus_pdf, qs.assign(k=10_000), match, terms_fn=terms)
+    n0 = (full["query_id"] == 0).sum()
+    n2 = (full["query_id"] == 2).sum()
+    assert 0 < n0 < n2
+    assert full[full["query_id"] == 3].empty
+    with pytest.raises(ValueError, match="two tokens"):
+        eng.topk_span_not(
+            pd.DataFrame(
+                {"query_id": [0], "text": ["one two three"], "exclude": ["x"],
+                 "slop": [1], "k": [5]}
+            )
+        )
