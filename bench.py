@@ -340,6 +340,43 @@ def main() -> None:
         f"p95={extras['composed_local_p95_ms']}ms"
     )
 
+    # --- match_phrase_prefix serving: fixed-run verification + prefix
+    # expansion union through the cached key path (_mpp_local)
+    mq = pd.DataFrame(
+        {
+            "query_id": range(4),
+            "text": ["the o", "of th", "you that h", "water t"],
+            "k": [10] * 4,
+        }
+    )
+    mqt = peng._mpp_qt_rows(mq)
+    peng._mpp_local(mqt)  # warm (shares the positional key cache)
+    lats = []
+    for qid in mq["query_id"]:
+        one = mqt[mqt["query_id"] == qid]
+        t0 = time.monotonic()
+        peng._mpp_local(one)
+        lats.append(time.monotonic() - t0)
+    arr = np.array(lats)
+    extras["mpp_local_p50_ms"] = round(float(np.percentile(arr, 50)) * 1000, 1)
+    extras["mpp_local_p95_ms"] = round(float(np.percentile(arr, 95)) * 1000, 1)
+    queries["mpp_local_each_p95"] = round(float(np.percentile(arr, 95)), 3)
+    log(
+        f"match_phrase_prefix serving: p50={extras['mpp_local_p50_ms']}ms "
+        f"p95={extras['mpp_local_p95_ms']}ms"
+    )
+
+    # --- phrase suggester (bigram did-you-mean), local path: candidate
+    # expansion + one adjacency-count intersection per pair
+    sq = pd.DataFrame(
+        {"query_id": range(3), "text": ["the of", "watr the", "peple sed"]}
+    )
+    peng.suggest_phrases(sq, mode="local", n_shards=1)  # warm
+    t0 = time.monotonic()
+    peng.suggest_phrases(sq, mode="local", n_shards=1)
+    queries["suggest_phrase_local"] = round(time.monotonic() - t0, 3)
+    log(f"phrase suggester (3 queries, local): {queries['suggest_phrase_local']}s")
+
     # --- fuzzy expansion: pre-built variant dictionary vs the legacy
     # per-batch vocabulary scan (the >5x latency claim, measured in-band)
     fuzzy_toks = ["watr", "thre", "peple", "numbr"]
