@@ -44,6 +44,10 @@ def main() -> None:
     for name, df in [
         ("composed", peng.topk_composed(dq.composed_queries_pdf())),
         ("highlight", peng.search_highlight(dq.highlight_queries_pdf())),
+        ("match_phrase_prefix",
+         peng.topk_match_phrase_prefix(dq.mpp_queries_pdf(), n_shards=1)),
+        ("span_or", peng.topk_span_or(dq.span_or_queries_pdf(), n_shards=1)),
+        ("span_not", peng.topk_span_not(dq.span_not_queries_pdf(), n_shards=1)),
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "PushedFilters" in plan, name
