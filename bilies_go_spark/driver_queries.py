@@ -4148,6 +4148,147 @@ FROM dl
 """
 
 
+# --- index stats (_cat/indices analogue + integrity gate) --------------------
+# Doc count, vocabulary size, total postings computed from the INDEX's
+# own term dictionary (one Spark agg over the stats parquet); the
+# oracle recomputes all three from the raw corpus, so a green row IS a
+# dictionary-integrity proof (every (term, doc) pair indexed once).
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    return QueryEngine(spark, idx).index_stats()
+
+
+def index_stats_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id FROM toks GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(DISTINCT term) AS n_terms,
+       count(*) AS n_postings
+FROM post
+"""
+
+
+# --- parent (conversation-level) scoring: ES has_child score_mode=sum --------
+# Rank PARENTS (the `source` field standing in for conv_id on the
+# documents table) by the SUM of their matching children's BM25
+# scores.  Scores convert to integer micro-units BEFORE the sum so the
+# aggregate is order-independent (same trick as the star join's cents).
+
+PARENT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 5),
+    (1, "table", 5),
+    (2, "the", 3),
+    (3, "zzqq", 5),
+]
+
+
+def parent_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in PARENT_QUERIES],
+            "text": [q[1] for q in PARENT_QUERIES],
+            "k": [q[2] for q in PARENT_QUERIES],
+        }
+    )
+
+
+def search_parent_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    big = parent_queries_pdf().copy()
+    kmap = dict(zip(big["query_id"], big["k"]))
+    big["k"] = int(eng.n_docs)  # full match set; heap never cuts
+    scored = eng.topk_distributed(big, n_shards=1).drop("rank")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "source"
+    )
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"query_id": list(kmap), "k": list(kmap.values())}),
+            schema="query_id bigint, k int",
+        )
+    )
+    j = (
+        scored.withColumn(
+            "micros", F.round(F.round("score", ROUND_DIGITS) * 1_000_000, 0).cast("bigint")
+        )
+        .join(docs, "doc_id")
+        .groupBy("query_id", "source")
+        .agg(
+            F.sum("micros").alias("score_micros"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("source")
+    )
+    return (
+        j.join(kdf, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "source", "score_micros", "n_hits")
+    )
+
+
+def search_parent_sum_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in PARENT_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            qrows.append(f"({qid}, '{term}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT q.query_id, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+par AS (
+  SELECT sc.query_id, d.source,
+         CAST(sum(CAST(round({duck_round('sc.score')} * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS score_micros,
+         count(*) AS n_hits, max(sc.k) AS k
+  FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, source, score_micros, n_hits, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micros DESC, source ASC
+         ) AS rank
+  FROM par
+)
+SELECT query_id, rank, source, score_micros, n_hits FROM r WHERE rank <= k
+"""
+
+
 # --- relational star-schema join (SURVEY §2.2 join surface, executed) --------
 
 # Money is scored in integer cents: the per-row double product is
@@ -4417,6 +4558,12 @@ def registry() -> dict[str, tuple]:
         "term_stats": (q_term_stats, term_stats_oracle()),
         "doc_length": (q_doc_length, doc_length_oracle()),
         "corpus_stats": (q_corpus_stats, corpus_stats_oracle()),
+        # index-side dictionary aggregates vs corpus recompute — the
+        # _cat/indices analogue doubling as an integrity gate
+        "index_stats": (q_index_stats, index_stats_oracle()),
+        # ES has_child score_mode=sum: parents ranked by the sum of
+        # matching children's scores (integer micro-units, order-safe)
+        "search_parent_sum": (search_parent_sum, search_parent_sum_oracle_sql()),
         # BM25: oracle-checked rank identity (north_rule gate).
         # _streamed builds its index through Structured Streaming ingest
         # + compaction and must match the same oracle — the
@@ -4603,6 +4750,12 @@ def registry() -> dict[str, tuple]:
         "language_id": (_docs(textstats.language_id), textstats.language_id_oracle()),
         # similarity search over embeddings
         "ann_cosine_topk": (_embs(ann.cosine_topk), ann.cosine_topk_oracle()),
+        # filtered vector search (ES kNN filter = PRE-filter): exact
+        # top-k among candidates sharing the query's label
+        "ann_cosine_topk_filtered": (
+            _embs(ann.cosine_topk_filtered),
+            ann.cosine_topk_filtered_oracle(),
+        ),
         "dedup_embedding_lsh": (
             _embs(ann.cosine_pairs_lsh),
             ann.cosine_pairs_lsh_oracle(),

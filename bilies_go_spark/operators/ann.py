@@ -107,6 +107,70 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def cosine_topk_filtered(
+    vecs: DataFrame, n_queries: int = ANN_N_QUERIES, k: int = ANN_K
+) -> DataFrame:
+    """Filtered vector search — the ES kNN ``filter`` semantics
+    (PRE-filter: the metadata predicate restricts the candidate set,
+    so the query always gets k matching results, never post-filtered
+    holes): per query vector, exact top-k among candidates sharing the
+    query's ``label``.  The label equi-join rides the same broadcast
+    as the query vectors, so Catalyst pushes the candidate restriction
+    below the dot product — at 10^12 vectors the label predicate
+    prunes the scan before any arithmetic, and the LSH-bucketed path
+    (:func:`lsh_topk`) composes the same way (filter the bucket join's
+    candidate side)."""
+    v = with_norm(vecs).select("vec_id", "embedding", "norm", "label")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = v.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_filtered_oracle(
+    table: str = "embeddings", n_queries: int = ANN_N_QUERIES, k: int = ANN_K
+) -> str:
+    dot = _duck_dot("q.embedding", "c.embedding", "q.embedding")
+    qn = _duck_dot("q.embedding", "q.embedding", "q.embedding")
+    cn = _duck_dot("c.embedding", "c.embedding", "c.embedding")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label FROM {table} WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {duck_round(f'{dot} / (sqrt({qn}) * sqrt({cn}))')} AS cosine
+  FROM q JOIN {table} c ON c.vec_id <> q.query_id AND c.label = q.label
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 COSINE_DEDUP_THRESHOLD = 0.45  # fixture-calibrated; a real near-dup run uses ~0.95
 
 

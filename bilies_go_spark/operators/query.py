@@ -3757,6 +3757,28 @@ class QueryEngine:
                 df_map[term] = df_map.get(term, 0) + int(dfreq)
         return df_map
 
+    def index_stats(self) -> DataFrame:
+        """The ES ``_stats`` / ``_cat/indices`` analogue: corpus doc
+        count, vocabulary size, and total postings — computed from the
+        INDEX's own term dictionary (one Spark aggregation over the
+        stats parquet, never the postings), so it doubles as an index
+        integrity check against a corpus-side oracle.  Tier deltas and
+        tombstone df corrections sum in naturally (distinct terms
+        count once, df deltas add)."""
+        ts = self.spark.read.parquet(*self._ts_roots())
+        return (
+            ts.groupBy()
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+            )
+            .select(
+                F.lit(int(self.n_docs)).cast("bigint").alias("n_docs"),
+                F.col("n_terms").cast("bigint"),
+                F.col("n_postings").cast("bigint"),
+            )
+        )
+
     def _auto_shards(self, queries: pd.DataFrame) -> int:
         """Pick the shard count from the heaviest query's estimated
         posting volume (Σ df over its terms — one tiny driver-side
