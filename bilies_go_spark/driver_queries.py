@@ -928,6 +928,96 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- query-time synonyms ---------------------------------------------------------
+# ES synonym token filter at SEARCH time: each analyzed token unions
+# with its synonym set; the query scores as the exact OR of the
+# expansion.  The synonym table is configuration (both engine and
+# oracle read the same constant), not computation.
+
+SYNONYMS: dict[str, list[str]] = {
+    "join": ["merge"],
+    "scan": ["query"],
+    "fast": ["quick"],   # vocabulary-absent synonym: contributes nothing
+    "table": ["row"],
+}
+
+SYNONYM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join", 10),
+    (1, "table scan", 10),
+    (2, "fast", 10),
+    (3, "zzqq", 10),
+]
+
+
+def synonym_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in SYNONYM_QUERIES],
+            "text": [q[1] for q in SYNONYM_QUERIES],
+            "k": [q[2] for q in SYNONYM_QUERIES],
+        }
+    )
+
+
+def bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_synonyms(synonym_queries_pdf(), SYNONYMS)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            synonym_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_synonyms_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    qrows = []
+    for qid, text, k in SYNONYM_QUERIES:
+        terms: set[str] = set()
+        for tok in tokenize_py(text):
+            terms.add(tok)
+            terms.update(SYNONYMS.get(tok, []))
+        for t in sorted(terms):
+            qrows.append(f"({qid}, '{t}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+qe(query_id, term, k) AS (VALUES {values}),
+sc AS (
+  SELECT qe.query_id, p.doc_id, max(qe.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM qe
+  JOIN post p ON p.term = qe.term
+  JOIN ts ON ts.term = qe.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- field collapsing ---------------------------------------------------------
 # ES `collapse`: rank normally, keep the best hit per distinct value of
 # the collapse field, re-rank survivors, return top-k GROUPS.  Engine
@@ -4597,6 +4687,9 @@ def registry() -> dict[str, tuple]:
         # ES sort-by-field (scores skipped): match set ordered by
         # (n_chars desc, doc_id) via match_ids + fact join + window
         "search_sort": (search_sort, search_sort_oracle_sql()),
+        # query-time synonym expansion (exact-OR rewrite; the synonym
+        # table is shared config on both sides)
+        "bm25_topk_synonyms": (bm25_synonyms, bm25_synonyms_oracle_sql()),
         # ES field collapsing: best hit per collapse-field value, top-k
         # groups; full-match kernel + fact join + two windows
         "bm25_topk_collapse": (bm25_collapse, bm25_collapse_oracle_sql()),

@@ -6126,6 +6126,51 @@ class QueryEngine:
             pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
         )
 
+    def topk_synonyms(
+        self,
+        queries: pd.DataFrame,
+        synonyms: "dict[str, list[str]]",
+        mode: str = "distributed",
+    ) -> DataFrame:
+        """Query-time synonym expansion — the ES ``synonym`` token
+        filter applied at search time (the operationally sane side:
+        index-time synonyms bake the dictionary into 10^12 docs and
+        need a full rebuild to change; query-time expansion is a
+        per-query rewrite against the same index).  Each analyzed
+        token unions with its synonym set and the query scores as the
+        exact OR of the expansion — the same exact-scoring rewrite as
+        prefix/wildcard/fuzzy (Lucene's blended-df SynonymQuery is a
+        documented divergence, deterministically avoided).  Synonym
+        keys and values analyze through the standard tokenizer;
+        vocabulary-absent synonyms simply contribute no postings."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        syn_norm: dict[str, list[str]] = {}
+        for key, vals in synonyms.items():
+            kt = tokenize_py(key)
+            if len(kt) != 1:
+                raise ValueError(f"synonym key {key!r} is not a single term")
+            out = []
+            for v in vals:
+                vt = tokenize_py(v)
+                if len(vt) != 1:
+                    raise ValueError(f"synonym value {v!r} is not a single term")
+                out.append(vt[0])
+            syn_norm[kt[0]] = out
+        rows = []
+        for r in queries.itertuples(index=False):
+            terms: set[str] = set()
+            for tok in tokenize_py(r.text):
+                terms.add(tok)
+                terms.update(syn_norm.get(tok, []))
+            for t in sorted(terms):
+                rows.append((int(r.query_id), t, int(r.k)))
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        return self._topk_expanded(
+            pd.DataFrame(rows, columns=["query_id", "term", "k"]), mode
+        )
+
     # -- field collapsing ------------------------------------------------------
 
     def topk_collapse(

@@ -1590,3 +1590,61 @@ def test_span_not_matches_brute_all_paths(spark, small_corpus, pos_index_dir):
                  "slop": [1], "k": [5]}
             )
         )
+
+
+def test_synonyms_engine_matches_expanded_brute(spark, small_corpus, pos_index_dir):
+    """topk_synonyms == brute disjunctive BM25 over the token ∪
+    synonym-set expansion; vocabulary-absent synonyms contribute
+    nothing; expansion must genuinely widen the match set."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    syn = {"two": ["one"], "water": ["zzqabsent"], "he": ["she"]}
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["two", "water day", "he"],
+            "k": [10, 10, 10],
+        }
+    )
+
+    def expand(q):
+        out = set()
+        for tok in tokenize_py(q.text):
+            out.add(tok)
+            out.update(syn.get(tok, []))
+        return sorted(out)
+
+    def match(q, t):
+        return bool(set(expand(q)) & set(t))
+
+    exp = _brute_filtered_topk(corpus_pdf, queries, match, terms_fn=expand)
+    eng = QueryEngine(spark, pos_index_dir)
+    got = (
+        eng.topk_synonyms(queries, syn)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    # the synonym must widen: "two"∪"one" matches more than "two" alone
+    plain = _brute_filtered_topk(
+        corpus_pdf,
+        queries.iloc[[0]].assign(k=10_000),
+        lambda q, t: "two" in t,
+        terms_fn=lambda q: ["two"],
+    )
+    wide = _brute_filtered_topk(
+        corpus_pdf, queries.iloc[[0]].assign(k=10_000), match, terms_fn=expand
+    )
+    assert len(wide) > len(plain)
+    # local path identical
+    loc = eng.topk_synonyms(queries, syn, mode="local").toPandas()
+    pd.testing.assert_frame_equal(
+        loc.sort_values(["query_id", "rank"]).reset_index(drop=True), got
+    )
+    with pytest.raises(ValueError, match="single term"):
+        eng.topk_synonyms(queries, {"two": ["two words"]})
