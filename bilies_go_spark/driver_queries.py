@@ -4462,6 +4462,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ES date_histogram (calendar_interval: day) with metric sub-aggs —
+# the calendar twin of the fixed 1-hour tumbling window above (same
+# operator family; date_trunc runs unchanged under readStream).
+
+
+def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("DAY", "ts")).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), ROUND_DIGITS).alias("sum_value"),
+            F.round(F.avg("value"), ROUND_DIGITS).alias("avg_value"),
+        )
+    )
+
+
+def events_date_histogram_oracle() -> str:
+    return f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, event_type,
+       count(*) AS n_events, {duck_round('sum(value)')} AS sum_value,
+       {duck_round('avg(value)')} AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- events: session windows (streaming-native operator) ---------------------
 
 SESSION_GAP_MIN = 30
@@ -4861,6 +4890,11 @@ def registry() -> dict[str, tuple]:
         "ann_lsh_topk": (_embs(ann.lsh_topk), ann.lsh_topk_oracle()),
         # events / streaming-shaped agg
         "events_windowed": (q_events_windowed, events_windowed_oracle()),
+        # ES date_histogram (calendar day) + metric sub-aggs
+        "events_date_histogram": (
+            q_events_date_histogram,
+            events_date_histogram_oracle(),
+        ),
         # per-user session windows (session_window operator — the
         # stateful-streaming session use case; gaps-and-islands oracle)
         "events_sessionized": (q_events_sessionized, events_sessionized_oracle()),
