@@ -231,18 +231,48 @@ def main() -> None:
         {"query_id": range(len(texts)), "text": texts, "k": [10] * len(texts)}
     )
 
-    def _serve_each(qt_rows_fn, kind, tag):
-        qt_all = qt_rows_fn(pq)
-        peng._pos_local(qt_all, kind)  # warm: fills the positional cache
+    def _serve_each(qt_rows_fn, kind, tag, api_fn=None, qpdf=None):
+        """Measure the SERVING API's behavior per query: light queries
+        run the driver-side kernel path (_pos_local, minus the
+        result-DataFrame re-wrap a frontend wouldn't pay); queries
+        whose Σ df crosses the auto-shard threshold route to the
+        doc-range-sharded distributed plan — exactly what
+        topk_phrase/topk_proximity/topk_span_near(mode='local') do
+        since the heavy-local routing fix.  Without this split the leg
+        re-measures the pre-fix driver sweep the API no longer takes
+        (the r4 31.5 s stopword stall)."""
+        qpdf_l = pq if qpdf is None else qpdf
+        qt_all = qt_rows_fn(qpdf_l)
+        shards = {
+            int(q): peng._auto_shards_qt(qt_all[qt_all["query_id"] == q])
+            for q in qpdf_l["query_id"]
+        }
+        light = [q for q, s in shards.items() if s == 1]
+        if light:
+            # warm: fills the positional cache (light queries only —
+            # a heavy query must never sweep one driver thread)
+            peng._pos_local(qt_all[qt_all["query_id"].isin(light)], kind)
+        heavy_warm = False
         lats = []
-        for qid in pq["query_id"]:
-            one = qt_all[qt_all["query_id"] == qid]
-            t0 = time.monotonic()
-            peng._pos_local(one, kind)
-            lats.append(time.monotonic() - t0)
+        for qid in qpdf_l["query_id"]:
+            qid = int(qid)
+            if shards[qid] == 1:
+                one = qt_all[qt_all["query_id"] == qid]
+                t0 = time.monotonic()
+                peng._pos_local(one, kind)
+                lats.append(time.monotonic() - t0)
+            else:
+                one_q = qpdf_l[qpdf_l["query_id"] == qid]
+                if not heavy_warm:
+                    api_fn(one_q).count()  # python-worker warm-up, uncounted
+                    heavy_warm = True
+                t0 = time.monotonic()
+                api_fn(one_q).count()
+                lats.append(time.monotonic() - t0)
         arr = np.array(lats)
         extras[f"{tag}_p50_ms"] = round(float(np.percentile(arr, 50)) * 1000, 1)
         extras[f"{tag}_p95_ms"] = round(float(np.percentile(arr, 95)) * 1000, 1)
+        extras[f"{tag}_n_routed"] = sum(1 for s in shards.values() if s > 1)
         queries[f"{tag}_each_p95"] = round(float(np.percentile(arr, 95)), 3)
 
     def _prox_rows(qdf):
@@ -305,9 +335,20 @@ def main() -> None:
             rows, columns=["query_id", "term", "k", "n_terms", "slop", "cseq"]
         )
 
-    _serve_each(peng._phrase_qt_rows, "phrase", "phrase_local")
-    _serve_each(_prox_rows, "proximity", "proximity_local")
-    _serve_each(_span_rows, "span", "span_local")
+    _serve_each(
+        peng._phrase_qt_rows, "phrase", "phrase_local",
+        api_fn=lambda q: peng.topk_phrase(q),
+    )
+    _serve_each(
+        _prox_rows, "proximity", "proximity_local",
+        api_fn=lambda q: peng.topk_proximity(q),
+        qpdf=pq.assign(slop=3),
+    )
+    _serve_each(
+        _span_rows, "span", "span_local",
+        api_fn=lambda q: peng.topk_span_near(q),
+        qpdf=pq.assign(slop=3),
+    )
     log(
         f"positional serving: phrase p50={extras['phrase_local_p50_ms']}ms "
         f"p95={extras['phrase_local_p95_ms']}ms; proximity "
@@ -345,18 +386,36 @@ def main() -> None:
     mq = pd.DataFrame(
         {
             "query_id": range(4),
-            "text": ["the o", "of th", "you that h", "water t"],
+            "text": ["the o", "of th", "you that h", "water th"],
             "k": [10] * 4,
         }
     )
     mqt = peng._mpp_qt_rows(mq)
-    peng._mpp_local(mqt)  # warm (shares the positional key cache)
+    mshards = {
+        int(q): peng._auto_shards_qt(mqt[mqt["query_id"] == q])
+        for q in mq["query_id"]
+    }
+    mlight = [q for q, s in mshards.items() if s == 1]
+    if mlight:
+        peng._mpp_local(mqt[mqt["query_id"].isin(mlight)])  # warm
+    mheavy_warm = False
     lats = []
     for qid in mq["query_id"]:
-        one = mqt[mqt["query_id"] == qid]
-        t0 = time.monotonic()
-        peng._mpp_local(one)
-        lats.append(time.monotonic() - t0)
+        qid = int(qid)
+        if mshards[qid] == 1:
+            one = mqt[mqt["query_id"] == qid]
+            t0 = time.monotonic()
+            peng._mpp_local(one)
+            lats.append(time.monotonic() - t0)
+        else:
+            one_q = mq[mq["query_id"] == qid]
+            if not mheavy_warm:
+                peng.topk_match_phrase_prefix(one_q).count()
+                mheavy_warm = True
+            t0 = time.monotonic()
+            peng.topk_match_phrase_prefix(one_q).count()
+            lats.append(time.monotonic() - t0)
+    extras["mpp_n_routed"] = sum(1 for s in mshards.values() if s > 1)
     arr = np.array(lats)
     extras["mpp_local_p50_ms"] = round(float(np.percentile(arr, 50)) * 1000, 1)
     extras["mpp_local_p95_ms"] = round(float(np.percentile(arr, 95)) * 1000, 1)

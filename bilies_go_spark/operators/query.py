@@ -4470,7 +4470,9 @@ class QueryEngine:
         )
         return self._merge_shard_topk(partial, queries)
 
-    def _mpp_qt_rows(self, queries: pd.DataFrame) -> pd.DataFrame:
+    def _mpp_qt_rows(
+        self, queries: pd.DataFrame, max_expansions: int = 0
+    ) -> pd.DataFrame:
         """(query_id, term, k, n_terms, n_fixed, slots, is_alt) rows
         for ``match_phrase_prefix``: the query text analyzes as usual,
         the LAST token is the prefix (ES semantics — no ``*`` marker
@@ -4492,6 +4494,22 @@ class QueryEngine:
             parsed[int(r.query_id)] = (toks[:-1], toks[-1], int(r.k))
             prefixes.add(toks[-1])
         expansion = self.expand_prefixes(sorted(prefixes)) if prefixes else {}
+        if max_expansions > 0:
+            # ES max_expansions semantics: keep the highest-df terms
+            # (deterministic df desc, term asc) — a recall cut for
+            # degenerate short prefixes whose dictionary range is a
+            # large vocabulary fraction.  0 = uncapped (exact).
+            all_exp = sorted({t for v in expansion.values() for t in v})
+            dfs = self.term_dfs(all_exp)
+            expansion = {
+                p: [
+                    t
+                    for _, t in sorted(
+                        ((-dfs.get(t, 0), t) for t in v)
+                    )[:max_expansions]
+                ]
+                for p, v in expansion.items()
+            }
         rows = []
         for qid, (fixed, prefix, k) in parsed.items():
             exp = expansion.get(prefix, [])
@@ -4518,6 +4536,7 @@ class QueryEngine:
         queries: pd.DataFrame,
         mode: str = "distributed",
         n_shards: int | None = None,
+        max_expansions: int = 0,
     ) -> DataFrame:
         """ES ``match_phrase_prefix`` top-k (positional index): the
         fixed tokens as a contiguous run immediately followed by a
@@ -4525,10 +4544,13 @@ class QueryEngine:
         the fixed distinct terms (deterministic exact scoring — see
         :func:`match_phrase_prefix_kernel`; ES's rewrite-dependent
         blended idf is a documented divergence).  Expansion is
-        UNCAPPED (exact — ES's ``max_expansions=50`` is a recall cut);
-        the dictionary range scan bounds its cost by the prefix's
-        selectivity, and expansion postings only ever decode inside
-        the fixed run's candidate blocks.  Same three result-identical
+        UNCAPPED by default (exact — ES's ``max_expansions=50`` is a
+        recall cut); pass ``max_expansions`` to apply the ES cap
+        (highest-df terms kept, deterministic) for degenerate short
+        prefixes whose dictionary range is a large vocabulary
+        fraction.  The range scan bounds expansion cost by the
+        prefix's selectivity, and expansion postings only ever decode
+        inside the fixed run's candidate blocks.  Same three result-identical
         paths as :meth:`topk_phrase`: one-task-per-query distributed,
         doc-range-sharded (auto-picked from Σ df in EVERY mode — a
         heavy query never sweeps one driver thread), and the
@@ -4538,7 +4560,7 @@ class QueryEngine:
                 "match_phrase_prefix needs an index built with "
                 "BuildConfig(positions=True)"
             )
-        qt_pdf = self._mpp_qt_rows(queries)
+        qt_pdf = self._mpp_qt_rows(queries, max_expansions=max_expansions)
         if qt_pdf.empty:
             return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
         if n_shards is None:

@@ -1648,3 +1648,41 @@ def test_synonyms_engine_matches_expanded_brute(spark, small_corpus, pos_index_d
     )
     with pytest.raises(ValueError, match="single term"):
         eng.topk_synonyms(queries, {"two": ["two words"]})
+
+
+def test_match_phrase_prefix_max_expansions(spark, small_corpus, pos_index_dir):
+    """max_expansions == ES cap semantics: only the highest-df
+    expansion terms (df desc, term asc) fill the alt slot; the capped
+    engine result equals brute over the SAME capped expansion."""
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    df: dict[str, int] = {}
+    for r in corpus_pdf.itertuples(index=False):
+        for t in set(tokenize_py(r.text)):
+            df[t] = df.get(t, 0) + 1
+    cap = 3
+    exp_terms = [
+        t for _, t in sorted((-df[t], t) for t in df if t.startswith("th"))
+    ][:cap]
+    q = pd.DataFrame({"query_id": [0], "text": ["the th"], "k": [10]})
+
+    def match(qr, t):
+        return any(
+            t[i] == "the" and t[i + 1] in exp_terms for i in range(len(t) - 1)
+        )
+
+    exp = _brute_filtered_topk(corpus_pdf, q, match, terms_fn=lambda qr: ["the"])
+    eng = QueryEngine(spark, pos_index_dir)
+    got = (
+        eng.topk_match_phrase_prefix(q, n_shards=1, max_expansions=cap)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    # the cap must actually bite on this vocabulary
+    assert len([t for t in df if t.startswith("th")]) > cap
