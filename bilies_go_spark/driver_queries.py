@@ -2413,6 +2413,100 @@ SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
 """
 
 
+# --- dis_max queries -----------------------------------------------------------
+# ES/Lucene DisjunctionMaxQuery: |-separated clauses, each scored as an
+# independent BM25 disjunction; doc score = best clause + tie_breaker x
+# sum(other clauses).  The oracle computes per-clause scores in one CTE
+# and combines with max(s) + tie*(sum(s)-max(s)).
+
+DIS_MAX_TIE = 0.3
+
+DIS_MAX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "hash join | merge batch", 10),   # two bigram clauses
+    (1, "table | sort key", 10),          # hot single vs pair
+    (2, "a the | dup dup | spark window", 10),  # three clauses, dup folds
+    (3, "zzzmissing | table", 10),        # absent clause -> other wins
+    (4, "table a | a dup", 10),           # shared term across clauses
+    (5, "query", 10),                     # single clause == plain OR
+]
+
+
+def dis_max_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in DIS_MAX_QUERIES],
+            "text": [q[1] for q in DIS_MAX_QUERIES],
+            "k": [q[2] for q in DIS_MAX_QUERIES],
+        }
+    )
+
+
+def bm25_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max top-k — must match the per-clause-CTE + max/sum-combine
+    oracle rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    raw = eng.topk_dis_max(dis_max_queries_pdf(), tie_breaker=DIS_MAX_TIE)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            dis_max_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_dis_max_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    from bilies_go_spark.operators.query import QueryEngine
+
+    qrows = []
+    for qid, text, k in DIS_MAX_QUERIES:
+        for ci, toks in enumerate(QueryEngine._parse_dis_max_query(text)):
+            for t in toks:
+                qrows.append(f"({qid}, {ci}, '{t}', {k})")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q(query_id, clause, term, k) AS (VALUES {values}),
+cs AS (
+  SELECT q.query_id, q.clause, p.doc_id, max(q.k) AS k,
+         sum(
+           ln(1 + (st.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM q
+  JOIN post p ON p.term = q.term
+  JOIN ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2, 3
+),
+comb AS (
+  SELECT query_id, doc_id, max(k) AS k,
+         max(score) + {DIS_MAX_TIE} * (sum(score) - max(score)) AS score
+  FROM cs
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, {duck_round('score')} AS score, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {duck_round('score')} DESC, doc_id ASC
+         ) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= k
+"""
+
+
 # --- fuzzy (edit-distance) queries --------------------------------------------
 # Trailing-~ pieces expand to dictionary terms within Levenshtein
 # distance 1 via the SymSpell deletion-variant join (all DataFrame
@@ -4783,6 +4877,7 @@ def registry() -> dict[str, tuple]:
         # leading-- negation (MUST_NOT): exclusion folded into the doc
         # mask; oracle = NOT EXISTS over the negated terms' postings
         "bm25_topk_boolean": (bm25_boolean, bm25_boolean_oracle_sql()),
+        "bm25_topk_dis_max": (bm25_dis_max, bm25_dis_max_oracle_sql()),
         # ES search_after pagination: cursor-driven page 2 vs the full
         # ranking's rank window k+1..2k
         "bm25_topk_page": (bm25_page, bm25_page_oracle_sql()),

@@ -1132,6 +1132,95 @@ def boolean_query_kernel(
     )
 
 
+def dis_max_query_kernel(
+    pdf: pd.DataFrame,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    prune: bool = True,
+    stats: KernelStats | None = None,
+    tie_margin: float = 0.0,
+    deleted: np.ndarray | DocSetFilter | None = None,
+) -> pd.DataFrame:
+    """Lucene/ES ``dis_max`` top-k: each clause is a bag of terms scored
+    as an independent BM25 disjunction; a doc's query score is its BEST
+    clause score plus ``tie_breaker`` x the sum of its OTHER clause
+    scores (DisjunctionMaxQuery semantics — the reference's users get
+    this from ES, see /root/reference/README.md:8-11).
+
+    Expects per-term ``clauses`` (JSON int list — the clause ids the
+    term occurs in; a term may sit in several) and a per-query ``tie``
+    column.  Each term decodes ONCE; its contributions re-fold per
+    clause in ascending-term order (the oracle's pinned float64 fold),
+    and clauses combine in ascending-clause order.  Decode is
+    exhaustive like the wide-expansion path of
+    :func:`score_query_kernel` (``prune`` accepted for signature
+    parity): the max-combine makes per-term block maxima rank-safe
+    only with a (1 + tie·(n_clauses−1)) slack, and Lucene likewise
+    evaluates DisMax without per-clause block maxima when clauses
+    share terms."""
+    import json
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty or avgdl <= 0:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    tie = float(pdf["tie"].iloc[0])
+    stats = stats if stats is not None else KernelStats()
+
+    terms = sorted(pdf["term"].unique())
+    per_term: dict[str, dict] = {}
+    decoded: dict[str, tuple] = {}
+    clause_terms: dict[int, list[str]] = {}
+    for term in terms:  # ascending — pinned order within each clause
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {
+            "idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5)))
+        }
+        runs = [row_to_segment(r) for _, r in rows.iterrows()]
+        stats.blocks_total += sum(len(seg.block_last_doc_id) for seg in runs)
+        decoded[term] = _decode_term_runs(runs, None, deleted=deleted)
+        for cl in json.loads(rows["clauses"].iloc[0] or "[]"):
+            if term not in clause_terms.setdefault(int(cl), []):
+                clause_terms[int(cl)].append(term)
+    stats.blocks_decoded += stats.blocks_total
+
+    clause_docs: list[np.ndarray] = []
+    clause_accs: list[np.ndarray] = []
+    for cl in sorted(clause_terms):
+        doc, acc = _merge_accumulate(
+            decoded, per_term, sorted(clause_terms[cl]), avgdl, k1, b
+        )
+        if doc.size:
+            clause_docs.append(doc)
+            clause_accs.append(acc)
+    if not clause_docs:
+        return empty
+    all_docs = np.unique(np.concatenate(clause_docs))
+    total = np.zeros(all_docs.size, dtype=np.float64)
+    best = np.zeros(all_docs.size, dtype=np.float64)
+    for doc, acc in zip(clause_docs, clause_accs):  # ascending-clause fold
+        idx = np.searchsorted(all_docs, doc)
+        total[idx] += acc  # each doc appears once per clause -> plain add
+        np.maximum.at(best, idx, acc)
+    score = best + tie * (total - best)
+
+    sel = _topk_select(all_docs, score, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": all_docs[sel],
+            "score": score[sel],
+        }
+    )
+
+
 def _seg_blocks_with_candidates(seg, cand: np.ndarray) -> np.ndarray:
     """Bool mask over a segment's blocks: block may contain one of the
     (sorted) candidate doc ids.  Two binary searches of the block
@@ -6535,6 +6624,80 @@ class QueryEngine:
             bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return boolean_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
+            )
+
+        return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    @staticmethod
+    def _parse_dis_max_query(text: str) -> list[list[str]]:
+        """``|``-separated clauses, each a bag of terms (ES ``dis_max``
+        over ``match`` sub-queries); empty clauses drop; duplicate
+        terms within a clause fold (BM25 scores the distinct term)."""
+        from bilies_go_spark.functions.tokenize import tokenize_py
+
+        out = []
+        for piece in text.split("|"):
+            toks = sorted(set(tokenize_py(piece)))
+            if toks:
+                out.append(toks)
+        return out
+
+    def topk_dis_max(
+        self,
+        queries: pd.DataFrame,
+        tie_breaker: float = 0.3,
+        mode: str = "distributed",
+    ) -> DataFrame:
+        """ES ``dis_max`` query — clauses separated by ``|`` in the
+        query text; score = best clause + tie_breaker x Σ(other
+        clauses) (:func:`dis_max_query_kernel`).  Same pruned-scan +
+        broadcast-join plan as :meth:`topk_distributed`, one kernel
+        task per query; ``mode='local'`` serves through the LRU term
+        cache.  Works on any index."""
+        import json as _json
+
+        rows = []
+        for r in queries.itertuples(index=False):
+            t2c: dict[str, list[int]] = {}
+            for ci, toks in enumerate(self._parse_dis_max_query(r.text)):
+                for t in toks:
+                    t2c.setdefault(t, []).append(ci)
+            for t, cls in sorted(t2c.items()):
+                rows.append(
+                    (int(r.query_id), t, int(r.k), _json.dumps(cls), float(tie_breaker))
+                )
+        if not rows:
+            return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+        qt_pdf = pd.DataFrame(
+            rows, columns=["query_id", "term", "k", "clauses", "tie"]
+        )
+        if mode == "local":
+            out = self._kernel_local(qt_pdf, dis_max_query_kernel)
+            if out.empty:
+                return self.spark.createDataFrame([], schema=TOPK_SCHEMA)
+            return self.spark.createDataFrame(out, schema=TOPK_SCHEMA)
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, clauses string, tie double",
+        )
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        margin = self.tie_margin
+        deleted = self.deleted
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            import bilies_go_spark
+
+            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
+            bilies_go_spark.prefault_heap(min(need, 384 << 20))
+            return dis_max_query_kernel(
+                pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)

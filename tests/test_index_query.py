@@ -617,3 +617,74 @@ def test_cardinality_approx_within_error(spark, small_corpus, index_dir):
     for r in got.itertuples(index=False):
         assert r.exact > 0
         assert abs(int(r.approx) - int(r.exact)) <= max(2, 0.1 * int(r.exact))
+
+
+def test_dis_max_matches_brute(spark, small_corpus, index_dir):
+    """topk_dis_max: per-clause BM25 disjunctions combined as
+    best + tie x (sum - best) — equals an independent brute (its own
+    parse, scoring, and combine); local == distributed; a single
+    clause reduces to the plain disjunctive top-k."""
+    from bilies_go_spark import B_DEFAULT, K1_DEFAULT
+    from bilies_go_spark.functions.tokenize import tokenize_py
+    from bilies_go_spark.operators.query import QueryEngine
+
+    corpus = small_corpus.select("doc_id", "text").toPandas()
+    tie = 0.3
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": [
+                "the of | water one",
+                "you | that he",
+                "the water | water the",  # shared terms across clauses
+                "water",                  # single clause == plain OR
+            ],
+            "k": [10, 10, 10, 10],
+        }
+    )
+    toks = {int(r.doc_id): tokenize_py(r.text) for r in corpus.itertuples(index=False)}
+    toks = {d: t for d, t in toks.items() if t}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfreq: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+
+    def bm25(term, t):
+        tf = t.count(term)
+        if not tf or term not in dfreq:
+            return 0.0
+        idf = np.log1p((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        return (
+            idf
+            * (tf * (K1_DEFAULT + 1.0))
+            / (tf + K1_DEFAULT * (1.0 - B_DEFAULT + B_DEFAULT * (len(t) / avgdl)))
+        )
+
+    exp_rows = []
+    for q in queries.itertuples(index=False):
+        clauses = [c for c in
+                   (sorted(set(tokenize_py(p))) for p in q.text.split("|")) if c]
+        scored = []
+        for d, t in toks.items():
+            cs = [s for c in clauses if (s := sum(bm25(term, t) for term in c)) > 0.0]
+            if cs:
+                scored.append((d, max(cs) + tie * (sum(cs) - max(cs))))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[: int(q.k)], 1):
+            exp_rows.append((int(q.query_id), rank, d, s))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "rank", "doc_id", "score"])
+
+    eng = QueryEngine(spark, index_dir)
+    got = eng.topk_dis_max(queries, tie_breaker=tie).toPandas()
+    _assert_rank_identical(got, exp, tol=1e-8)
+    loc = eng.topk_dis_max(queries, tie_breaker=tie, mode="local").toPandas()
+    _assert_rank_identical(loc, exp, tol=1e-8)
+    # every query matched something, and the shared-term query's clause
+    # overlap actually exercised the multi-clause term path
+    assert sorted(set(exp["query_id"])) == [0, 1, 2, 3]
+    plain = topk(spark, index_dir, queries[queries.query_id == 3]).toPandas()
+    _assert_rank_identical(
+        got[got.query_id == 3].reset_index(drop=True), plain, tol=1e-9
+    )
