@@ -2809,11 +2809,37 @@ def bm25_composed_oracle_sql(
         for p in s["neg_phrases"]:
             nph_rows.append(f"({qid}, '{' '.join(p)}')")
         qn_rows.append(f"({qid}, {len(s['phrases'])})")
+        def _duck_bound(v: str) -> str:
+            # numeric bounds unquoted (numeric compare, like the
+            # engine's _range_lit), everything else a string literal
+            try:
+                float(v)
+                return v
+            except ValueError:
+                return f"'{v}'"
+
+        def _duck_range(rng) -> str:
+            f, lo, hi, lo_inc, hi_inc = rng
+            if lo is None and hi is None:
+                return f"{f} IS NOT NULL"  # ES `exists`
+            ps = []
+            if lo is not None:
+                ps.append(f"{f} {'>=' if lo_inc else '>'} {_duck_bound(lo)}")
+            if hi is not None:
+                ps.append(f"{f} {'<=' if hi_inc else '<'} {_duck_bound(hi)}")
+            return "(" + " AND ".join(ps) + ")"
+
         preds = [
             f"{f} IS NOT DISTINCT FROM '{v}'" for f, v in sorted(set(s["fields"]))
         ] + [
             f"NOT ({f} IS NOT DISTINCT FROM '{v}')"
             for f, v in sorted(set(s["neg_fields"]))
+        ] + [
+            _duck_range(r) for r in sorted(set(s["ranges"]), key=repr)
+        ] + [
+            # null-safe negation: a doc missing the field matches
+            f"NOT coalesce({_duck_range(r)}, FALSE)"
+            for r in sorted(set(s["neg_ranges"]), key=repr)
         ]
         qa_rows.append(
             f"SELECT {qid} AS query_id, doc_id FROM documents"
@@ -3098,6 +3124,63 @@ def bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_fielded_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
     return bm25_composed_oracle_sql(
         k1, b, queries=FIELDED_QUERIES, allowed_mode="fields"
+    )
+
+
+# --- range-scoped composed queries ---------------------------------------------
+# Lucene range syntax inside the composed language: field:[lo TO hi]
+# inclusive / {lo TO hi} exclusive / * open end; numeric bounds compare
+# numerically, strings lexicographically; -field:[...] is null-safe
+# negation; field:[* TO *] is the ES `exists` query.  Lowering is the
+# field-scope machinery (pruned metadata scan -> allowed set), so every
+# range clause is a parquet-pushdown predicate, never a kernel change.
+
+RANGED_QUERIES: list[tuple[int, str, int]] = [
+    (0, "n_chars:[48 TO 175] table", 10),        # numeric inclusive
+    (1, "n_chars:{306 TO 553} table scan", 10),  # numeric exclusive
+    (2, "lang:[de TO es] table", 10),            # string lexicographic
+    (3, "n_chars:[400 TO *] -lang:en table", 10),  # open end + neg field
+    (4, "-n_chars:[48 TO 306] table", 10),       # negated range
+    (5, "lang:[* TO *] dup", 10),                # exists -> no-op filter
+    (6, "n_chars:[600 TO *] table", 10),         # empty range -> no hits
+    (7, 'n_chars:[100 TO 400] "hash join" tab*', 10),  # range + phrase + prefix
+]
+
+
+def ranged_queries_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": [q[0] for q in RANGED_QUERIES],
+            "text": [q[1] for q in RANGED_QUERIES],
+            "k": [q[2] for q in RANGED_QUERIES],
+        }
+    )
+
+
+def bm25_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-scoped composed search — must match the per-query-allowed
+    composed oracle (range predicates in the allowed CTE)
+    rank-for-rank."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index_positional(spark, sf_dir)
+    eng = QueryEngine(spark, idx, tie_margin=BM25_TIE_MARGIN)
+    fields_df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    raw = eng.topk_composed(ranged_queries_pdf(), fields_df=fields_df)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            ranged_queries_pdf()[["query_id", "k"]], schema="query_id bigint, k int"
+        )
+    )
+    return _rounded_rank_topk(raw.drop("rank").join(kdf, "query_id"))
+
+
+def bm25_ranged_oracle_sql(k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> str:
+    return bm25_composed_oracle_sql(
+        k1, b, queries=RANGED_QUERIES, allowed_mode="fields"
     )
 
 
@@ -4889,6 +4972,7 @@ def registry() -> dict[str, tuple]:
         # surface; engine resolves each distinct clause set once per
         # batch, oracle carries a per-query allowed CTE
         "bm25_topk_fielded": (bm25_fielded, bm25_fielded_oracle_sql()),
+        "bm25_topk_ranged": (bm25_ranged, bm25_ranged_oracle_sql()),
         # clause^B boosts (term/phrase/prefix/fuzzy) folded into the
         # per-term idf engine-side, multiplied into the SQL BM25 sum
         "bm25_topk_boosted": (bm25_boosted, bm25_boosted_oracle_sql()),

@@ -6922,6 +6922,13 @@ class QueryEngine:
     # must look like an identifier, so times ("12:30") and URLs stay
     # ordinary analyzed text.
     _FIELD_RE = re.compile(r"^(-?)([a-z_][a-z0-9_]*):(\S+)$")
+    # Lucene range clause: field:[lo TO hi] (inclusive), {lo TO hi}
+    # (exclusive), mixed brackets allowed, * = open end; extracted
+    # before the whitespace split because the bounds are TO-separated.
+    # field:[* TO *] is the ES `exists` query (field IS NOT NULL).
+    _RANGE_RE = re.compile(
+        r"(-?)([a-z_][a-z0-9_]*):([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])"
+    )
 
     @staticmethod
     def _parse_composed_query(text: str) -> dict:
@@ -6936,6 +6943,12 @@ class QueryEngine:
           excludes) — values are NOT analyzed, they compare as-is
           against the doc-metadata column (see ``topk_composed``'s
           ``fields_df``)
+        * ``field:[lo TO hi]`` -> metadata RANGE filter (Lucene syntax:
+          ``[`` / ``]`` inclusive, ``{`` / ``}`` exclusive, ``*`` = open
+          end; ``field:[* TO *]`` is the ES ``exists`` query).  Bounds
+          that parse as numbers compare numerically, everything else
+          lexicographically; ``-field:[...]`` excludes, null-safe the
+          ES way (a doc MISSING the field matches the negation)
         * bare tokens          -> SHOULD terms (scoring)
         * ``clause^B``         -> boost: scales the clause's scoring
           contribution by ``B`` (``tok^2``, ``"a b"^1.5``, ``to*^3``,
@@ -6944,8 +6957,8 @@ class QueryEngine:
           stripped and ignored, like ES.
 
         Returns ``{"phrases", "should", "prefix", "fuzzy", "neg",
-        "neg_phrases", "fields", "neg_fields", "boosts"}`` of
-        analyzer-normalized
+        "neg_phrases", "fields", "neg_fields", "ranges", "neg_ranges",
+        "boosts"}`` of analyzer-normalized
         tokens (field names/values verbatim).  A negated phrase that
         normalizes to a single token folds into ``neg`` (identical
         semantics, no positional work)."""
@@ -6981,6 +6994,20 @@ class QueryEngine:
             return " "
 
         rest = QueryEngine._PHRASE_RE.sub(_grab, rest)
+
+        ranges: list[tuple] = []
+        neg_ranges: list[tuple] = []
+
+        def _grab_range(m):
+            lo = None if m.group(4) == "*" else m.group(4)
+            hi = None if m.group(5) == "*" else m.group(5)
+            (neg_ranges if m.group(1) else ranges).append(
+                (m.group(2), lo, hi, m.group(3) == "[", m.group(6) == "]")
+            )
+            return " "
+
+        # after the phrase passes, so quoted text can never parse as a range
+        rest = QueryEngine._RANGE_RE.sub(_grab_range, rest)
         should: list[str] = []
         prefix: list[str] = []
         fuzzy: list[str] = []
@@ -7030,8 +7057,40 @@ class QueryEngine:
             "neg_phrases": neg_phrases,
             "fields": fields,
             "neg_fields": neg_fields,
+            "ranges": ranges,
+            "neg_ranges": neg_ranges,
             "boosts": boosts,
         }
+
+    @staticmethod
+    def _range_lit(v: str):
+        """Range-bound literal: numeric when it parses (so ``n_chars``
+        compares numerically, '9' < '10'), string otherwise
+        (lexicographic — correct for ISO dates and keyword fields)."""
+        try:
+            return F.lit(int(v))
+        except ValueError:
+            try:
+                return F.lit(float(v))
+            except ValueError:
+                return F.lit(v)
+
+    @classmethod
+    def _range_cond(cls, rng: tuple):
+        """Column predicate for one parsed range tuple
+        ``(field, lo, hi, lo_inc, hi_inc)``; both-ends-open is the ES
+        ``exists`` query."""
+        fname, lo, hi, lo_inc, hi_inc = rng
+        if lo is None and hi is None:
+            return F.col(fname).isNotNull()
+        c = F.lit(True)
+        if lo is not None:
+            lit = cls._range_lit(lo)
+            c = c & (F.col(fname) >= lit if lo_inc else F.col(fname) > lit)
+        if hi is not None:
+            lit = cls._range_lit(hi)
+            c = c & (F.col(fname) <= lit if hi_inc else F.col(fname) < lit)
+        return c
 
     def _resolve_field_filter(
         self,
@@ -7039,20 +7098,28 @@ class QueryEngine:
         neg_fields: tuple,
         fields_df: DataFrame,
         allowed: "np.ndarray | None",
+        ranges: tuple = (),
+        neg_ranges: tuple = (),
     ) -> np.ndarray:
         """Resolve one field-clause set to a sorted allowed-id array:
         a pruned scan of the metadata table (predicates push down to
         the parquet reader), intersected with any caller-supplied
         tenant set.  Negation is null-safe the ES way — a doc MISSING
-        the field still matches ``-field:value``.  The resulting set
-        rides the normal filter path (:class:`DocBitmap` + broadcast
-        when large), so a billion-doc ``lang:en`` scope ships as
-        packed bits, not an id list."""
+        the field still matches ``-field:value`` / ``-field:[lo TO
+        hi]``.  The resulting set rides the normal filter path
+        (:class:`DocBitmap` + broadcast when large), so a billion-doc
+        ``lang:en`` scope ships as packed bits, not an id list."""
         cond = F.lit(True)
         for fname, val in fields:
             cond = cond & F.col(fname).cast("string").eqNullSafe(F.lit(val))
         for fname, val in neg_fields:
             cond = cond & ~F.col(fname).cast("string").eqNullSafe(F.lit(val))
+        for rng in ranges:
+            cond = cond & self._range_cond(rng)
+        for rng in neg_ranges:
+            # null-safe: a null comparison is NULL -> coalesce(FALSE)
+            # so the doc MATCHES the negation, like -field:value
+            cond = cond & ~F.coalesce(self._range_cond(rng), F.lit(False))
         ids = (
             fields_df.where(cond)
             .select("doc_id")
@@ -7100,7 +7167,8 @@ class QueryEngine:
             for r in queries.itertuples(index=False)
         }
         if not _fields_resolved and any(
-            s["fields"] or s["neg_fields"] for s in parsed.values()
+            s["fields"] or s["neg_fields"] or s["ranges"] or s["neg_ranges"]
+            for s in parsed.values()
         ):
             # field-scoped clauses: group queries by their clause set,
             # resolve each set to an allowed-id array ONCE, and run the
@@ -7117,13 +7185,21 @@ class QueryEngine:
                 key = (
                     tuple(sorted(set(s["fields"]))),
                     tuple(sorted(set(s["neg_fields"]))),
+                    # range bounds may be None (open end): sort by repr
+                    tuple(sorted(set(s["ranges"]), key=repr)),
+                    tuple(sorted(set(s["neg_ranges"]), key=repr)),
                 )
                 groups.setdefault(key, []).append(qid)
             out = None
-            for (fpos, fneg), qids in sorted(groups.items()):
+            for (fpos, fneg, frng, fnrng), qids in sorted(
+                groups.items(), key=repr
+            ):
                 sub_allowed = (
-                    self._resolve_field_filter(fpos, fneg, fields_df, allowed)
-                    if (fpos or fneg)
+                    self._resolve_field_filter(
+                        fpos, fneg, fields_df, allowed,
+                        ranges=frng, neg_ranges=fnrng,
+                    )
+                    if (fpos or fneg or frng or fnrng)
                     else allowed
                 )
                 part = self.topk_composed(

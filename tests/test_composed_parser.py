@@ -29,6 +29,8 @@ def spec(
     neg_phrases=(),
     fields=(),
     neg_fields=(),
+    ranges=(),
+    neg_ranges=(),
     boosts=(),
 ):
     return {
@@ -40,6 +42,8 @@ def spec(
         "neg_phrases": [list(p) for p in neg_phrases],
         "fields": [tuple(f) for f in fields],
         "neg_fields": [tuple(f) for f in neg_fields],
+        "ranges": [tuple(r) for r in ranges],
+        "neg_ranges": [tuple(r) for r in neg_ranges],
         "boosts": dict(boosts),
     }
 
@@ -97,6 +101,38 @@ CASES = [
     ),
     # value is verbatim: case/punctuation survive (compare-as-is)
     ("source:Src-4 x", spec(should=["x"], fields=[("source", "Src-4")])),
+    # Lucene range clauses: [..] inclusive, {..} exclusive, mixed
+    # brackets, * = open end; bounds verbatim (numeric typing happens
+    # at resolution, not parse)
+    (
+        "n_chars:[100 TO 500] x",
+        spec(should=["x"], ranges=[("n_chars", "100", "500", True, True)]),
+    ),
+    (
+        "n_chars:{100 TO 500} x",
+        spec(should=["x"], ranges=[("n_chars", "100", "500", False, False)]),
+    ),
+    (
+        "n_chars:[100 TO 500} x",
+        spec(should=["x"], ranges=[("n_chars", "100", "500", True, False)]),
+    ),
+    (
+        "ts:[2024-01-01 TO *] x",
+        spec(should=["x"], ranges=[("ts", "2024-01-01", None, True, True)]),
+    ),
+    # both ends open = the ES `exists` query; negated range -> neg_ranges
+    ("lang:[* TO *] x", spec(should=["x"], ranges=[("lang", None, None, True, True)])),
+    (
+        "-n_chars:[100 TO 500] x",
+        spec(should=["x"], neg_ranges=[("n_chars", "100", "500", True, True)]),
+    ),
+    # a quoted "[a TO b]" is analyzed text, never a range (phrase pass first)
+    (
+        '"a TO b" x',
+        spec(phrases=[["a", "to", "b"]], should=["x"]),
+    ),
+    # missing TO -> not a range; falls through to the field-clause rule
+    ("n_chars:[100 x", spec(should=["x"], fields=[("n_chars", "[100")])),
     # NOT a field clause: name can't start with a digit (times stay text)
     ("12:30 x", spec(should=["12", "30", "x"])),
     # NOT a field clause: uppercase name fails the identifier shape

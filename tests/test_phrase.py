@@ -481,9 +481,9 @@ def test_fuzzy_dictionary_requires_variants_for_every_vocab_root(
     calls = []
     real_scan = eng._expand_fuzzy_scan
 
-    def spy(toks, auto=False):
+    def spy(toks, auto=False, dist=None):
         calls.append(list(toks))
-        return real_scan(toks, auto=auto)
+        return real_scan(toks, auto=auto, dist=dist)
 
     monkeypatch.setattr(eng, "_expand_fuzzy_scan", spy)
     got = eng.expand_fuzzy(["watr", "thre"])
