@@ -3260,6 +3260,77 @@ GROUP BY 1, 2
 """
 
 
+# --- composite aggregation -----------------------------------------------------
+# ES `composite` agg: deterministic multi-key bucket PAGINATION —
+# buckets ordered by the full key tuple, an `after` key resuming
+# strictly past the previous page's last bucket.  The scale story:
+# unlike `terms` (which must materialize every bucket to find a global
+# top-N), composite streams bucket pages in key order, so a
+# billion-bucket keyset pages through in bounded memory; on Spark each
+# page is one match-set fact join + groupBy on the key + a
+# lexicographic after-key predicate + ORDER BY key LIMIT page.
+
+COMPOSITE_QUERY = "table"                 # conjunctive match set
+COMPOSITE_PAGE = 7
+COMPOSITE_AFTER = ("en", "src2")          # resume key (exclusive)
+
+
+def search_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite-agg page over (lang, source) buckets of the match
+    set: key-ordered, strictly after ``COMPOSITE_AFTER``, first
+    ``COMPOSITE_PAGE`` buckets.  The after-key tuple compare lowers to
+    the lexicographic pair predicate (Catalyst pushes it below the
+    aggregate's exchange where possible); bucket keys are unique after
+    the groupBy, so the page SET is deterministic under LIMIT."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    _ensure_pyfiles(spark)
+    idx = build_documents_index(spark, sf_dir)
+    eng = QueryEngine(spark, idx)
+    q = pd.DataFrame({"query_id": [0], "text": [COMPOSITE_QUERY]})
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "source"
+    )
+    la, sa = COMPOSITE_AFTER
+    after = (F.col("lang") > la) | ((F.col("lang") == la) & (F.col("source") > sa))
+    return (
+        eng.match_ids(q)
+        .join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .where(after)
+        .orderBy("lang", "source")
+        .limit(COMPOSITE_PAGE)
+    )
+
+
+def search_composite_oracle_sql() -> str:
+    terms = sorted(set(tokenize_py(COMPOSITE_QUERY)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    la, sa = COMPOSITE_AFTER
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest({duck_tokens()}) AS t(term)
+),
+q(term) AS (VALUES {values}),
+m AS (
+  SELECT p.doc_id
+  FROM q JOIN (SELECT DISTINCT term, doc_id FROM toks) p ON p.term = q.term
+  GROUP BY 1
+  HAVING count(*) = {len(terms)}
+),
+b AS (
+  SELECT d.lang, d.source, count(*) AS n_docs
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY 1, 2
+)
+SELECT lang, source, n_docs FROM b
+WHERE lang > '{la}' OR (lang = '{la}' AND source > '{sa}')
+ORDER BY lang, source
+LIMIT {COMPOSITE_PAGE}
+"""
+
+
 # --- highlight (snippet) search ----------------------------------------------
 # The ES/Lucene highlighter surface: conjunctive top-k where every hit
 # carries the minimal token window covering one occurrence of each
@@ -4943,6 +5014,7 @@ def registry() -> dict[str, tuple]:
         # facet counts over conjunctive match sets (index match_ids
         # joined to the documents table, grouped by facet value)
         "search_facets": (search_facets, search_facets_oracle_sql()),
+        "search_composite": (search_composite, search_composite_oracle_sql()),
         # metadata-filtered top-k (allowed doc set, global stats)
         "bm25_topk_filtered": (bm25_filtered, bm25_filtered_oracle_sql()),
         # query-by-document: top tf*idf terms of a source doc -> OR query
