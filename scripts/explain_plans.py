@@ -35,6 +35,24 @@ def main() -> None:
     idx = dq.build_documents_index(spark, sf)
     QueryEngine(spark, idx).topk_distributed(dq.bm25_queries_pdf()).explain("formatted")
 
+    print("=== dis_max (same pruned-scan + broadcast shape) ===")
+    dm = QueryEngine(spark, idx).topk_dis_max(dq.dis_max_queries_pdf())
+    plan = dm._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "PushedFilters" in plan, "dis_max"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    print(f"[ok] dis_max: pruned scan, {plan.count('BroadcastHashJoin')} broadcast joins")
+
+    print("=== ranged composed: range predicate pushes into the metadata scan ===")
+    fdf = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    pred = QueryEngine._range_cond(("n_chars", "100", "400", True, True))
+    plan = fdf.where(pred).select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(n_chars,100" in plan and "LessThanOrEqual(n_chars,400" in plan, (
+        "range predicate must reach PushedFilters:\n" + plan
+    )
+    print("[ok] ranged: n_chars bounds appear in PushedFilters")
+
     print("=== term_stats (explode + two-level agg) ===")
     dq.q_term_stats(spark, sf).explain("formatted")
 
