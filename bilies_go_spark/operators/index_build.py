@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import math
 import os
-import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -70,7 +69,6 @@ SEGMENT_SCHEMA = (
 SEGMENT_POS_SCHEMA = SEGMENT_SCHEMA + ", positions_vb binary, block_pos_off array<bigint>"
 TERM_STATS_SCHEMA = "term string, df bigint, cf bigint, term_bucket int"
 
-_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
 # decorrelate the salt hash from the bucket hash (both xxhash64-based)
 _SALT_MIX = 0x7F4A7C15
 
@@ -104,44 +102,79 @@ def split_poison(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, poison
 
 
-def _doc_local_tf(batches):
-    """mapInPandas kernel: per-document term frequencies, vectorized.
+def _batch_token_stream(rb):
+    """Tokenize one Arrow batch into a flat token stream.
 
-    pandas explode + groupby-size (C paths) — no per-row Python UDF.
+    Arrow C++ kernels end-to-end (utf8_lower + split_pattern_regex run
+    in RE2, ~2.5x the pandas ``str`` path): returns
+    ``(parent int64, codes int64, dictionary StringArray)`` where
+    ``parent`` is the batch row index per non-empty token (ascending)
+    and ``codes`` indexes the batch-local term dictionary.  Token
+    semantics are pinned to :func:`tokenize_py` (lower + split on
+    ``[^a-z0-9]+``, empties dropped) — parity-tested."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(rb.column("text")), TOKEN_SPLIT_RE)
+    flat = lists.flatten()  # null texts yield null lists -> skipped
+    parent = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.any():
+        return None
+    if not keep_np.all():
+        flat = flat.filter(keep)
+        parent = parent[keep_np]
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy().astype(np.int64)
+    return parent, codes, de.dictionary
+
+
+def _group_starts(keys: np.ndarray) -> np.ndarray:
+    """Start offsets of equal-value runs in a sorted key array."""
+    change = np.empty(keys.size, dtype=bool)
+    change[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=change[1:])
+    return np.flatnonzero(change)
+
+
+def _doc_local_tf(batches):
+    """mapInArrow kernel: per-document term frequencies, vectorized.
+
+    Arrow C++ tokenization (:func:`_batch_token_stream`) + one int64
+    key sort per batch — no per-row Python, no pandas string ops, and
+    the output batch is built as Arrow arrays (no pandas -> Arrow
+    conversion on the ~N-distinct-pairs output).
     Output: one row per distinct (doc, term) with tf and dl attached.
     """
-    for pdf in batches:
-        if not len(pdf):
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        toks = pdf["text"].fillna("").str.lower().str.split(_PY_SPLIT)
-        s = toks.explode()
-        s = s[s.notna() & (s != "")]
-        if s.empty:
+        stream = _batch_token_stream(rb)
+        if stream is None:
             continue
-        pos = s.index.to_numpy()
-        frame = pd.DataFrame(
-            {
-                "build_part": pdf["build_part"].to_numpy()[pos],
-                "doc_id": pdf["doc_id"].to_numpy()[pos],
-                "term": s.to_numpy(),
-            }
-        )
-        dl = frame.groupby("doc_id", sort=False).size().rename("dl")
-        tf = (
-            frame.groupby(["build_part", "doc_id", "term"], sort=False)
-            .size()
-            .rename("tf")
-            .reset_index()
-        )
-        tf = tf.merge(dl, left_on="doc_id", right_index=True)
-        yield pd.DataFrame(
-            {
-                "build_part": tf["build_part"],
-                "doc_id": tf["doc_id"].astype("int64"),
-                "term": tf["term"],
-                "tf": tf["tf"].astype("int32"),
-                "dl": tf["dl"].astype("int32"),
-            }
+        parent, codes, dictionary = stream
+        nvoc = len(dictionary)
+        key = parent * nvoc + codes
+        key.sort()
+        starts = _group_starts(key)
+        tf = np.diff(np.append(starts, key.size))
+        gk = key[starts]
+        gdoc = gk // nvoc
+        gcode = gk % nvoc
+        dl = np.bincount(parent, minlength=rb.num_rows)
+        idx = pa.array(gdoc)
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column("build_part").take(idx),
+                rb.column("doc_id").take(idx),
+                dictionary.take(pa.array(gcode)),
+                pa.array(tf.astype(np.int32)),
+                pa.array(dl[gdoc].astype(np.int32)),
+            ],
+            names=["build_part", "doc_id", "term", "tf", "dl"],
         )
 
 
@@ -151,51 +184,57 @@ def _doc_local_tf_pos(batches):
     self-contained VByte delta blob (codec.positions_to_blobs), encoded
     doc-locally BEFORE the shuffle so the position stream compresses at
     the same point the tf stream does."""
+    import pyarrow as pa
+
     from bilies_go_spark.operators.codec import positions_to_blobs
 
-    for pdf in batches:
-        if not len(pdf):
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        toks = pdf["text"].fillna("").str.lower().str.split(_PY_SPLIT)
-        s = toks.explode()
-        s = s[s.notna() & (s != "")]
-        if s.empty:
+        stream = _batch_token_stream(rb)
+        if stream is None:
             continue
-        row_idx = s.index.to_numpy()
-        frame = pd.DataFrame(
-            {
-                "build_part": pdf["build_part"].to_numpy()[row_idx],
-                "doc_id": pdf["doc_id"].to_numpy()[row_idx],
-                "term": s.to_numpy(),
-            }
+        parent, codes, dictionary = stream
+        nvoc = len(dictionary)
+        # token position among the doc's non-empty tokens (parent is
+        # ascending, so positions are offsets from the doc's first row)
+        doc_starts = _group_starts(parent)
+        doc_counts = np.diff(np.append(doc_starts, parent.size))
+        pos = np.arange(parent.size, dtype=np.int64) - np.repeat(
+            doc_starts, doc_counts
         )
-        # token position within its doc (explode preserves token order)
-        frame["pos"] = frame.groupby("doc_id", sort=False).cumcount()
-        dl = frame.groupby("doc_id", sort=False).size().rename("dl")
-        # stable sort groups (doc, term) contiguously, positions stay
-        # ascending within each group
-        frame = frame.sort_values(["doc_id", "term"], kind="stable")
-        dc = frame["doc_id"].to_numpy()
-        tm = frame["term"].to_numpy()
-        change = np.concatenate(
-            [[True], (dc[1:] != dc[:-1]) | (tm[1:] != tm[:-1])]
-        )
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.concatenate([starts, [dc.size]]))
-        blobs = positions_to_blobs(frame["pos"].to_numpy(), counts)
-        yield pd.DataFrame(
-            {
-                "build_part": frame["build_part"].to_numpy()[starts],
-                "doc_id": dc[starts].astype("int64"),
-                "term": tm[starts],
-                "tf": counts.astype("int32"),
-                "dl": dl.reindex(dc[starts]).to_numpy().astype("int32"),
-                "pos_vb": blobs,
-            }
+        key = parent * nvoc + codes
+        # stable sort keeps each (doc, term) group's positions ascending
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = _group_starts(ks)
+        tf = np.diff(np.append(starts, ks.size))
+        gk = ks[starts]
+        gdoc = gk // nvoc
+        gcode = gk % nvoc
+        dl = np.bincount(parent, minlength=rb.num_rows)
+        blobs = positions_to_blobs(pos[order], tf)
+        idx = pa.array(gdoc)
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column("build_part").take(idx),
+                rb.column("doc_id").take(idx),
+                dictionary.take(pa.array(gcode)),
+                pa.array(tf.astype(np.int32)),
+                pa.array(dl[gdoc].astype(np.int32)),
+                pa.array(blobs, type=pa.binary()),
+            ],
+            names=["build_part", "doc_id", "term", "tf", "dl", "pos_vb"],
         )
 
 
 def _make_encoder(block_size: int, positions: bool = False):
+    """applyInPandas grouped-map encoder: one (term, salt) group ->
+    one encoded segment row.  (An applyInArrow twin was measured 4x
+    SLOWER end-to-end on the bench corpus — Spark 4.1's arrow
+    grouped-map path pays far more per group at ~6k groups — so the
+    pandas grouped map stays; see OPTIMIZATION_r06.md.)"""
+
     def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         pos_blobs = (
@@ -359,6 +398,54 @@ class BuildConfig:
         return SEGMENT_POS_SCHEMA if self.positions else SEGMENT_SCHEMA
 
 
+#: salt lookup rides the query plan as a literal map while the hot-term
+#: set (df > target_postings_per_salt) fits; past this, fall back to the
+#: broadcast join (a 10^12-doc vocabulary can have ~10^5+ hot terms and
+#: a literal that large would blow up planning, guide §7.3)
+SALT_MAP_MAX_TERMS = 4096
+
+
+def _attach_salt(runs: DataFrame, tstats_r: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """Attach the per-posting ``salt`` column: ``pmod(xxhash64(doc_id,
+    MIX), n_salts(term))`` with ``n_salts = ceil(df / target)``.
+
+    Almost every term has ``n_salts == 1`` (only Zipf-hot terms split),
+    so shipping the few hot terms as a literal ``create_map`` lookup
+    (probe stays inside whole-stage codegen) measures ~6 s faster per
+    bench build than broadcast-joining the full term-stats table —
+    the join forced an extra exchange + codegen break on the ~N-postings
+    stream.  Result-identical either way (segment partition only)."""
+    n_salts = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("df") / F.lit(cfg.target_postings_per_salt)),
+    ).cast("int")
+    hot = (
+        tstats_r.filter(F.col("df") > cfg.target_postings_per_salt)
+        .select("term", n_salts.alias("n_salts"))
+        .limit(SALT_MAP_MAX_TERMS + 1)
+        .collect()
+    )
+    if len(hot) <= SALT_MAP_MAX_TERMS:
+        if hot:
+            mp = F.create_map(
+                *[F.lit(x) for r in hot for x in (r["term"], r["n_salts"])]
+            )
+            ns = F.coalesce(mp[F.col("term")], F.lit(1))
+        else:
+            ns = F.lit(1)
+        salted = runs.withColumn("n_salts", ns)
+    else:
+        salted = runs.join(
+            tstats_r.select("term", n_salts.alias("n_salts")), "term"
+        )
+    return salted.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")
+        ).cast("int"),
+    )
+
+
 def plan_build_parts(corpus: DataFrame, cfg: BuildConfig) -> list[str]:
     rows = (
         corpus.select(F.expr(cfg.build_part_expr).alias("build_part"))
@@ -403,7 +490,7 @@ def build_runs(
     for chunk in chunks:
         with StageTimer() as t:
             sub = clean.filter(F.col("build_part").isin(chunk))
-            runs = sub.select("build_part", "doc_id", "text").mapInPandas(
+            runs = sub.select("build_part", "doc_id", "text").mapInArrow(
                 _doc_local_tf_pos if cfg.positions else _doc_local_tf,
                 schema=cfg.runs_schema,
             )
@@ -500,22 +587,9 @@ def build_segments(
             tstats_r = spark.read.parquet(paths.term_stats).filter(
                 F.col("term_bucket").isin(bucket_ids)
             )
-            n_salts = F.greatest(
-                F.lit(1),
-                F.ceil(F.col("df") / F.lit(cfg.target_postings_per_salt)),
-            ).cast("int")
-            salted = (
-                runs.join(tstats_r.select("term", n_salts.alias("n_salts")), "term")
-                .withColumn(
-                    "salt",
-                    F.pmod(
-                        F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")
-                    ).cast("int"),
-                )
-                .select(
-                    "term_bucket", "term", "salt", "doc_id", "tf", "dl",
-                    *(["pos_vb"] if cfg.positions else []),
-                )
+            salted = _attach_salt(runs, tstats_r, cfg).select(
+                "term_bucket", "term", "salt", "doc_id", "tf", "dl",
+                *(["pos_vb"] if cfg.positions else []),
             )
             segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
                 encoder, schema=cfg.segment_schema
@@ -579,21 +653,9 @@ def encode_segments(
         tstats.select("term", "df", "cf", "term_bucket"), ts_path, ["term_bucket"]
     )
     tstats_r = spark.read.parquet(ts_path)
-    n_salts = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(cfg.target_postings_per_salt))
-    ).cast("int")
-    salted = (
-        runs.join(tstats_r.select("term", n_salts.alias("n_salts")), "term")
-        .withColumn(
-            "salt",
-            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(_SALT_MIX)), F.col("n_salts")).cast(
-                "int"
-            ),
-        )
-        .select(
-            "term_bucket", "term", "salt", "doc_id", "tf", "dl",
-            *(["pos_vb"] if cfg.positions else []),
-        )
+    salted = _attach_salt(runs, tstats_r, cfg).select(
+        "term_bucket", "term", "salt", "doc_id", "tf", "dl",
+        *(["pos_vb"] if cfg.positions else []),
     )
     segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
         _make_encoder(cfg.block_size, positions=cfg.positions),

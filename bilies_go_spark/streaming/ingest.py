@@ -75,7 +75,7 @@ def ingest_batch(
     tagged = batch_df.withColumn("build_part", F.lit(part))
     clean, poison = split_poison(tagged)
     with StageTimer() as t:
-        runs = clean.select("build_part", "doc_id", "text").mapInPandas(
+        runs = clean.select("build_part", "doc_id", "text").mapInArrow(
             _doc_local_tf_pos if cfg.positions else _doc_local_tf,
             schema=cfg.runs_schema,
         )

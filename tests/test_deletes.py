@@ -122,3 +122,90 @@ def test_delete_replay_is_noop_and_compact_purges(spark, deleted_setup):
     # idempotence guard) — stats must not drift
     assert delete_docs(spark, idx, victims[:1]) is None
     pd.testing.assert_frame_equal(_topk(spark, idx, queries), expected)
+
+
+def test_suggest_phrases_paths_agree_with_deletes(
+    spark, small_corpus, tmp_path_factory
+):
+    """ADVICE r5 (medium): the phrase suggester's distributed and
+    sharded paths must mask tombstones exactly like mode='local'
+    (whose cached keys bake them in) — adjacency counts over a
+    deleted-docs index must equal a rebuild without those docs."""
+    from bilies_go_spark.functions.tokenize import tokenize_py
+
+    cfg = BuildConfig(
+        n_buckets=8, block_size=32, target_postings_per_salt=200,
+        positions=True, serving_cache_min_df=5,
+    )
+    idx = str(tmp_path_factory.mktemp("sugg_del_idx"))
+    build_index(spark, small_corpus, idx, cfg)
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    # delete one-third of the docs containing the bigram "the of" so
+    # the adjacency counts visibly change
+    bigram_docs = sorted(
+        int(r.doc_id)
+        for r in corpus_pdf.itertuples(index=False)
+        if "the of" in " ".join(tokenize_py(r.text))
+    )
+    victims = bigram_docs[:: 3]
+    assert victims
+    assert delete_docs(spark, idx, victims) is not None
+
+    qs = pd.DataFrame({"query_id": [0], "text": ["the of"]})
+    eng = QueryEngine(spark, idx)
+    key = ["query_id", "rank"]
+    dist = eng.suggest_phrases(qs, n_top=5).toPandas()
+    loc = eng.suggest_phrases(qs, n_top=5, mode="local").toPandas()
+    shd = eng.suggest_phrases(qs, n_top=5, n_shards=3).toPandas()
+    pd.testing.assert_frame_equal(
+        dist.sort_values(key).reset_index(drop=True),
+        loc.sort_values(key).reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        shd.sort_values(key).reset_index(drop=True),
+        loc.sort_values(key).reset_index(drop=True),
+    )
+    # ground truth: rebuild without the victims answers identically
+    rebuilt = str(tmp_path_factory.mktemp("sugg_del_rebuilt"))
+    build_index(
+        spark, small_corpus.filter(~F.col("doc_id").isin(victims)), rebuilt, cfg
+    )
+    exp = QueryEngine(spark, rebuilt).suggest_phrases(qs, n_top=5).toPandas()
+    pd.testing.assert_frame_equal(
+        dist.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_suggest_completions_drops_fully_deleted_terms(
+    spark, small_corpus, tmp_path_factory
+):
+    """ADVICE r5 (low): a term whose every posting is tombstoned
+    (net df <= 0) must not be suggested by the completion suggester."""
+    from bilies_go_spark.functions.tokenize import tokenize_py
+
+    cfg = BuildConfig(
+        n_buckets=8, block_size=32, target_postings_per_salt=200,
+        positions=True, serving_cache_min_df=5,
+    )
+    idx = str(tmp_path_factory.mktemp("comp_del_idx"))
+    build_index(spark, small_corpus, idx, cfg)
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    df: dict[str, set] = {}
+    for r in corpus_pdf.itertuples(index=False):
+        for t in set(tokenize_py(r.text)):
+            df.setdefault(t, set()).add(int(r.doc_id))
+    # pick a rare 'to…' term and delete every doc containing it
+    rare = sorted(
+        (len(d), t) for t, d in df.items() if t.startswith("tok")
+    )[0][1]
+    victims = sorted(df[rare])
+    assert delete_docs(spark, idx, victims) is not None
+    got = (
+        QueryEngine(spark, idx)
+        .suggest_completions(
+            pd.DataFrame({"query_id": [0], "prefix": [rare[:5]]}), n_top=50
+        )
+        .toPandas()
+    )
+    assert rare not in set(got["suggestion"])

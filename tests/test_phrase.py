@@ -1686,3 +1686,28 @@ def test_match_phrase_prefix_max_expansions(spark, small_corpus, pos_index_dir):
     )
     # the cap must actually bite on this vocabulary
     assert len([t for t in df if t.startswith("th")]) > cap
+
+
+def test_regexp_prefix_filter_soundness(spark, small_corpus, pos_index_dir):
+    """ADVICE r5 (high): the dictionary range filter derived from a
+    pattern's literal prefix must never drop matches — top-level
+    alternation ('the|of' must still find 'of') and trailing
+    quantifiers ('thes?' must still find 'the', 'too*' must still
+    find 'to') bail to a sound filter or the full scan."""
+    import re as _re
+
+    corpus_pdf = small_corpus.select("doc_id", "text").toPandas()
+    vocab = sorted({t for txt in corpus_pdf["text"] for t in tokenize_py(txt)})
+    eng = QueryEngine(spark, pos_index_dir)
+    pats = ["the|of", "thes?", "too*", "th(e|at)", "to+", "thes{0,1}"]
+    got = eng.expand_regexps(pats)
+    for p in pats:
+        rx = _re.compile(p)
+        exp = sorted(v for v in vocab if rx.fullmatch(v))
+        assert got[p] == exp, p
+    # the regression cases concretely: the buggy prefix ranges dropped
+    # these in-vocabulary matches
+    assert "of" in got["the|of"]
+    assert "the" in got["thes?"]
+    assert "to" in got["too*"]
+    assert "the" in got["thes{0,1}"]
