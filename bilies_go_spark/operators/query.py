@@ -54,14 +54,20 @@ SEGMENT_SLICE_FIELDS = (
 )
 
 
-def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFrame | None:
+def _slice_segments_by_shard(
+    pdf: pd.DataFrame,
+    bounds: np.ndarray,
+    extra_cols: tuple[str, ...] = (),
+) -> pd.DataFrame | None:
     """Cut each segment row's VByte streams at block boundaries into
     per-shard byte slices (offset arithmetic only — no decode).
 
     A block straddling a shard boundary is emitted to every shard it
     overlaps; the shard kernel's doc-range filter keeps each doc
     exactly once.  ``base_doc`` carries the previous block's last doc
-    id so gap decoding restarts correctly mid-stream."""
+    id so gap decoding restarts correctly mid-stream.  ``extra_cols``
+    ride through per row (per-query kernel columns, e.g. dis_max's
+    clauses/tie)."""
     out = []
     n_shards = len(bounds) - 1
     for row in pdf.itertuples(index=False):
@@ -78,6 +84,7 @@ def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFr
         bufs = [bytes(row.doc_gaps_vb), bytes(row.tfs_vb), bytes(row.dls_vb)]
         first_arr = np.searchsorted(last, bounds[:-1], side="left")
         last_arr = np.searchsorted(starts_doc, bounds[1:], side="left") - 1
+        extras = tuple(getattr(row, c) for c in extra_cols)
         for s in range(n_shards):
             first, last_i = int(first_arr[s]), int(last_arr[s])
             if first > last_i or first >= nb:
@@ -92,6 +99,7 @@ def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFr
                 (
                     int(row.query_id),
                     int(row.k),
+                    *extras,
                     row.term,
                     int(row.df),
                     s,
@@ -106,7 +114,7 @@ def _slice_segments_by_shard(pdf: pd.DataFrame, bounds: np.ndarray) -> pd.DataFr
     return pd.DataFrame(
         out,
         columns=[
-            "query_id", "k", "term", "df", "shard",
+            "query_id", "k", *extra_cols, "term", "df", "shard",
             "base_doc", "doc_gaps_vb", "tfs_vb", "dls_vb",
         ],
     )
@@ -175,6 +183,94 @@ def _score_shard(
             "rank": np.arange(1, sel.size + 1, dtype=np.int32),
             "doc_id": doc[sel],
             "score": acc[sel],
+        }
+    )
+
+
+def _dis_max_shard(
+    pdf: pd.DataFrame,
+    lo: int,
+    hi: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    deleted=None,
+    tie_margin: float = 0.0,
+) -> pd.DataFrame:
+    """Doc-range-sharded ``dis_max`` twin of :func:`_score_shard`:
+    decode every slice, keep docs in [lo, hi), fold each clause in
+    ascending-term order and combine clauses ascending — identical
+    float semantics to :func:`dis_max_query_kernel` because a doc's
+    postings all land in its shard.  Shard-kth <= global-kth, so the
+    tie-margin extras survive the merge (same argument as
+    :func:`_score_shard`)."""
+    import json
+
+    from bilies_go_spark.operators.codec import vbyte_decode
+
+    empty = pd.DataFrame(
+        {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    ).astype({"query_id": "int64", "rank": "int32", "doc_id": "int64", "score": "float64"})
+    if pdf.empty:
+        return empty
+    qid = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    tie = float(pdf["tie"].iloc[0])
+    terms = sorted(pdf["term"].unique())
+    per_term, decoded = {}, {}
+    clause_terms: dict[int, list[str]] = {}
+    for term in terms:  # ascending — pinned order within each clause
+        rows = pdf[pdf["term"] == term]
+        dfreq = int(rows["df"].iloc[0])
+        per_term[term] = {"idf": float(np.log1p((n_docs - dfreq + 0.5) / (dfreq + 0.5)))}
+        parts = []
+        for r in rows.itertuples(index=False):
+            gaps = vbyte_decode(np.frombuffer(bytes(r.doc_gaps_vb), dtype=np.uint8))
+            if gaps.size == 0:
+                continue
+            ids = int(r.base_doc) + np.cumsum(gaps.astype(np.int64))
+            m = (ids >= lo) & (ids < hi)
+            if not m.any():
+                continue
+            tfs = vbyte_decode(np.frombuffer(bytes(r.tfs_vb), dtype=np.uint8)).astype(np.int64)
+            dls = vbyte_decode(np.frombuffer(bytes(r.dls_vb), dtype=np.uint8)).astype(np.int64)
+            parts.append(_alive_triple((ids[m], tfs[m], dls[m]), deleted))
+        e = np.empty(0, dtype=np.int64)
+        if not parts:
+            decoded[term] = (e, e, e)
+        elif len(parts) == 1:
+            decoded[term] = parts[0]
+        else:
+            decoded[term] = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+        for cl in json.loads(rows["clauses"].iloc[0] or "[]"):
+            if term not in clause_terms.setdefault(int(cl), []):
+                clause_terms[int(cl)].append(term)
+    clause_docs, clause_accs = [], []
+    for cl in sorted(clause_terms):
+        doc, acc = _merge_accumulate(
+            decoded, per_term, sorted(clause_terms[cl]), avgdl, k1, b
+        )
+        if doc.size:
+            clause_docs.append(doc)
+            clause_accs.append(acc)
+    if not clause_docs:
+        return empty
+    all_docs = np.unique(np.concatenate(clause_docs))
+    total = np.zeros(all_docs.size, dtype=np.float64)
+    best = np.zeros(all_docs.size, dtype=np.float64)
+    for doc, acc in zip(clause_docs, clause_accs):  # ascending-clause fold
+        idx = np.searchsorted(all_docs, doc)
+        total[idx] += acc
+        np.maximum.at(best, idx, acc)
+    score = best + tie * (total - best)
+    sel = _topk_select(all_docs, score, k, tie_margin=tie_margin)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(sel.size, qid, dtype=np.int64),
+            "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            "doc_id": all_docs[sel],
+            "score": score[sel],
         }
     )
 
@@ -1522,9 +1618,17 @@ def _verify_phrase(quads, slot_list) -> np.ndarray:
 
 def _intersect_sorted_i64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elements of sorted ``a`` also present in sorted ``b`` (the
-    searchsorted membership gate used throughout the kernels)."""
+    searchsorted membership gate used throughout the kernels).
+
+    Both inputs must be unique-valued (every caller passes per-term
+    composite keys or np.unique'd unions), so intersection is
+    symmetric — probe with the SMALLER side: fewer binary searches on
+    the hot stopword pairs (e.g. the 14M-key 'the' against the 7M-key
+    'of' runs 7M lookups, not 14M)."""
     if a.size == 0 or b.size == 0:
         return np.empty(0, dtype=np.int64)
+    if a.size > b.size:
+        a, b = b, a
     pidx = np.minimum(np.searchsorted(b, a), b.size - 1)
     return a[b[pidx] == a]
 
@@ -3766,18 +3870,24 @@ class QueryEngine:
         return reduce(DataFrame.unionByName, dfs)
 
     def _tstats_df(self, terms: list[str], buckets: list[int]) -> DataFrame:
-        """(term, df) with df summed across base + tiers — the GLOBAL
-        document frequency the BM25 idf needs."""
-        from functools import reduce
+        """(term, df) with df summed across base + tiers + delete
+        deltas — the GLOBAL document frequency the BM25 idf needs.
 
-        dfs = [
-            self.spark.read.parquet(p)
-            .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-            for p in self._ts_roots()
-        ]
-        u = reduce(DataFrame.unionByName, dfs)
-        return u.groupBy("term").agg(F.sum("df").alias("df"))
+        Built as a LOCAL relation from the driver-side pruned pyarrow
+        dictionary read (:meth:`term_dfs` — O(query terms) rows, the
+        lookup every call already pays for auto-sharding): the
+        broadcast side of the stats join then carries no parquet-scan
+        + aggregation subtree, which removes one exchange + two scan
+        stages from every per-query plan (measured ~0.2 s/call off the
+        routed serving paths; same rows by construction)."""
+        df_map = self.term_dfs(terms)
+        pdf = pd.DataFrame(
+            {
+                "term": sorted(df_map),
+                "df": [int(df_map[t]) for t in sorted(df_map)],
+            }
+        )
+        return self.spark.createDataFrame(pdf, schema="term string, df bigint")
 
     def _terms_and_buckets(self, queries: pd.DataFrame) -> tuple[list[str], list[int]]:
         from bilies_go_spark.functions.xxhash import term_bucket_py
@@ -3830,8 +3940,18 @@ class QueryEngine:
 
     # -- distributed path ----------------------------------------------------
 
-    #: auto-sharding aims for roughly this many postings per shard task
+    #: posting volume past which a query ROUTES to the doc-range-sharded
+    #: plan (the serving-latency boundary: below it the one-task /
+    #: driver-local paths win)
     SHARD_TARGET_POSTINGS = 500_000
+    #: once routed, never split below ~this many postings per shard
+    #: task (tasks smaller than this are pure scheduling overhead —
+    #: measured: a single routed stopword phrase is fastest at full
+    #: fan-out, vol/100k shards)
+    SHARD_MIN_POSTINGS = 100_000
+    #: soft ceiling on postings per shard task (memory/straggler
+    #: bound); a lone heavy query always fans out at least this far
+    SHARD_MAX_POSTINGS = 4_000_000
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df per term (summed across base + tiers + delete
@@ -3887,15 +4007,38 @@ class QueryEngine:
         if not terms:
             return 1
         df_map = self.term_dfs(terms)
-        vol = max(
-            (
-                sum(df_map.get(t, 0) for t in _tokenize_terms(q.text))
-                for q in queries.itertuples(index=False)
-            ),
-            default=0,
-        )
+        vols = [
+            sum(df_map.get(t, 0) for t in _tokenize_terms(q.text))
+            for q in queries.itertuples(index=False)
+        ]
+        vol = max(vols, default=0)
+        n_heavy = sum(1 for v in vols if v > self.SHARD_TARGET_POSTINGS)
+        return self._shards_for_volume(vol, n_heavy)
+
+    def _shards_for_volume(self, vol: int, n_heavy: int = 1) -> int:
+        """1 below the routing threshold (unchanged boundary); once
+        routed, pick the fan-out from BOTH the heaviest query and how
+        many heavy queries share the job (guide §2.6: fill the
+        executors, do not oversubscribe them):
+
+        - a lone routed query spreads to ~SHARD_MIN_POSTINGS tasks
+          (serving latency: all cores attack one query — measured
+          fastest for single stopword phrases),
+        - a batch of n_heavy routed queries already has inter-query
+          parallelism, so each gets ~parallelism/n_heavy shards
+          (measured: the 53-query bench batch is ~25% faster at 3-4
+          shards than at full fan-out — 1,700 tiny groups are pure
+          per-task overhead),
+        - tasks never exceed ~SHARD_MAX_POSTINGS postings (memory /
+          straggler bound), and the fan-out never exceeds the executor
+          parallelism (scales with the cluster)."""
+        if vol <= self.SHARD_TARGET_POSTINGS:
+            return 1
         par = max(self.spark.sparkContext.defaultParallelism, 1)
-        return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
+        upper = min(par, max(-(-vol // self.SHARD_MIN_POSTINGS), 2))
+        lower = -(-vol // self.SHARD_MAX_POSTINGS)
+        latency = -(-2 * par // max(n_heavy, 1))  # ~2 waves of tasks
+        return int(min(max(2, lower, min(latency, upper)), par))
 
     def _auto_shards_qt(self, qt_pdf: pd.DataFrame) -> int:
         """:meth:`_auto_shards` over an already-expanded query-terms
@@ -3907,15 +4050,13 @@ class QueryEngine:
         if not terms:
             return 1
         df_map = self.term_dfs(terms)
-        vol = max(
-            (
-                int(sum(df_map.get(t, 0) for t in set(g["term"])))
-                for _, g in qt_pdf.groupby("query_id")
-            ),
-            default=0,
-        )
-        par = max(self.spark.sparkContext.defaultParallelism, 1)
-        return int(min(max(-(-vol // self.SHARD_TARGET_POSTINGS), 1), par))
+        vols = [
+            int(sum(df_map.get(t, 0) for t in set(g["term"])))
+            for _, g in qt_pdf.groupby("query_id")
+        ]
+        vol = max(vols, default=0)
+        n_heavy = sum(1 for v in vols if v > self.SHARD_TARGET_POSTINGS)
+        return self._shards_for_volume(vol, n_heavy)
 
     def topk_distributed(
         self,
@@ -3948,15 +4089,6 @@ class QueryEngine:
         deleted = self._ship_filter(self._doc_filter(allowed))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            # fault in just enough arena for THIS task's decode (~64 B
-            # per posting of transient numpy arrays, see prefault_heap);
-            # page population is globally bottlenecked on this VM class,
-            # so a flat large prefault in every worker costs more than
-            # it saves — the watermark makes repeat tasks free
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin,
                 deleted=_unwrap_filter(deleted),
@@ -3992,10 +4124,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return conjunctive_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -4496,10 +4624,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return phrase_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -4546,15 +4670,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _phrase_shard(
@@ -4681,10 +4796,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return match_phrase_prefix_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -4726,15 +4837,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _mpp_shard(
@@ -4901,10 +5003,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return span_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -4967,15 +5065,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _span_shard(
@@ -5091,10 +5180,6 @@ class QueryEngine:
                 return self._merge_shard_topk(partial, queries)
 
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                import bilies_go_spark
-
-                need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-                bilies_go_spark.prefault_heap(min(need, 384 << 20))
                 return span_or_query_kernel(
                     pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
                 )
@@ -5344,10 +5429,6 @@ class QueryEngine:
             return self._merge_shard_topk(partial, queries)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return span_not_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -5408,10 +5489,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return proximity_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
@@ -5462,15 +5539,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _proximity_shard(
@@ -5520,15 +5588,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _highlight_shard(
@@ -5596,10 +5655,6 @@ class QueryEngine:
             deleted = self.deleted
 
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                import bilies_go_spark
-
-                need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-                bilies_go_spark.prefault_heap(min(need, 384 << 20))
                 return highlight_query_kernel(
                     pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
                 )
@@ -5691,10 +5746,6 @@ class QueryEngine:
         deleted = self._ship_filter(self._doc_filter(allowed))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return conjunctive_match_kernel(pdf, deleted=_unwrap_filter(deleted))
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=MATCH_SCHEMA)
@@ -6089,10 +6140,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return score_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
             )
@@ -6653,10 +6700,6 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return boolean_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin, deleted=deleted
             )
@@ -6682,13 +6725,20 @@ class QueryEngine:
         queries: pd.DataFrame,
         tie_breaker: float = 0.3,
         mode: str = "distributed",
+        n_shards: int | None = None,
     ) -> DataFrame:
         """ES ``dis_max`` query — clauses separated by ``|`` in the
         query text; score = best clause + tie_breaker x Σ(other
         clauses) (:func:`dis_max_query_kernel`).  Same pruned-scan +
         broadcast-join plan as :meth:`topk_distributed`, one kernel
         task per query; ``mode='local'`` serves through the LRU term
-        cache.  Works on any index."""
+        cache.  Works on any index.  ``n_shards=None`` consults the
+        posting-volume estimator in EVERY mode (ADVICE r5: an all-hot
+        dis_max previously decoded full posting lists in one task /
+        one driver thread — the exact stall the r5 routing fix removed
+        from the positional surfaces) and routes heavy queries to the
+        doc-range-sharded twin (:meth:`topk_dis_max_sharded`,
+        result-identical); ``n_shards=1`` forces the one-task paths."""
         import json as _json
 
         rows = []
@@ -6706,6 +6756,10 @@ class QueryEngine:
         qt_pdf = pd.DataFrame(
             rows, columns=["query_id", "term", "k", "clauses", "tie"]
         )
+        if n_shards is None:
+            n_shards = self._auto_shards_qt(qt_pdf)
+        if n_shards > 1:
+            return self.topk_dis_max_sharded(queries, qt_pdf, n_shards)
         if mode == "local":
             out = self._kernel_local(qt_pdf, dis_max_query_kernel)
             if out.empty:
@@ -6727,15 +6781,61 @@ class QueryEngine:
         deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return dis_max_query_kernel(
                 pdf, k1, b, n_docs, avgdl, tie_margin=margin, deleted=deleted
             )
 
         return joined.groupBy("query_id").applyInPandas(kernel, schema=TOPK_SCHEMA)
+
+    def topk_dis_max_sharded(
+        self, queries: pd.DataFrame, qt_pdf: pd.DataFrame, n_shards: int
+    ) -> DataFrame:
+        """Doc-range-sharded ``dis_max`` plan: the :meth:`topk_sharded`
+        slicer with the per-term clause list and tie_breaker riding
+        through; shard-exact per :func:`_dis_max_shard` (doc ranges
+        partition the docs, so each clause fold happens entirely
+        inside one shard per doc)."""
+        from bilies_go_spark.functions.xxhash import term_bucket_py
+
+        qt = self.spark.createDataFrame(
+            qt_pdf,
+            schema="query_id bigint, term string, k int, clauses string, tie double",
+        )
+        terms = sorted(qt_pdf["term"].unique())
+        buckets = sorted({term_bucket_py(t, self.meta["n_buckets"]) for t in terms})
+        segs = self._segments_df(terms, buckets)
+        tstats = self._tstats_df(terms, buckets)
+        joined = segs.join(F.broadcast(qt), "term").join(F.broadcast(tstats), "term")
+        bounds = np.linspace(0, self.n_docs, n_shards + 1).astype(np.int64)
+        bounds[-1] = np.iinfo(np.int64).max  # open-ended last shard
+        extra = ("clauses", "tie")
+        slice_schema = (
+            "query_id bigint, k int, clauses string, tie double, "
+            "term string, df bigint, shard int, " + SEGMENT_SLICE_FIELDS
+        )
+
+        def slicer(batches):
+            for pdf in batches:
+                out = _slice_segments_by_shard(pdf, bounds, extra_cols=extra)
+                if out is not None:
+                    yield out
+
+        sliced = joined.mapInPandas(slicer, schema=slice_schema)
+        k1, b, n_docs, avgdl = self.k1, self.b, self.n_docs, self.avgdl
+        deleted = self.deleted
+        margin = self.tie_margin
+
+        def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            lo = int(bounds[key[1]])
+            hi = int(bounds[key[1] + 1])
+            return _dis_max_shard(
+                pdf, lo, hi, k1, b, n_docs, avgdl, deleted=deleted, tie_margin=margin
+            )
+
+        partial = sliced.groupBy("query_id", "shard").applyInPandas(
+            shard_kernel, schema=TOPK_SCHEMA
+        )
+        return self._merge_shard_topk(partial, queries)
 
     # -- fuzzy (edit-distance) expansion ---------------------------------------
 
@@ -7391,10 +7491,6 @@ class QueryEngine:
         shipped = self._ship_filter(flt)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            need = 64 * int(pdf["n_docs"].sum()) + (32 << 20)
-            bilies_go_spark.prefault_heap(min(need, 384 << 20))
             return composed_query_kernel(
                 pdf, k1, b, n_docs, avgdl, prune=prune, tie_margin=margin,
                 deleted=_unwrap_filter(shipped),
@@ -7453,15 +7549,6 @@ class QueryEngine:
         shipped = self._ship_filter(flt)
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-                + pdf["positions_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _composed_shard(
@@ -7527,16 +7614,6 @@ class QueryEngine:
         margin = self.tie_margin
 
         def shard_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            import bilies_go_spark
-
-            # slice rows carry no n_docs; size by compressed bytes
-            # (~1 B/value VByte -> ~3 decoded int64 streams + temps)
-            vb = int(
-                pdf["doc_gaps_vb"].str.len().sum()
-                + pdf["tfs_vb"].str.len().sum()
-                + pdf["dls_vb"].str.len().sum()
-            )
-            bilies_go_spark.prefault_heap(min(24 * vb + (32 << 20), 384 << 20))
             lo = int(bounds[key[1]])
             hi = int(bounds[key[1] + 1])
             return _score_shard(
@@ -7560,34 +7637,49 @@ class QueryEngine:
         <= global kth, so margin extras always survive the merge).
         ``extra_cols`` ride through unchanged — valid for doc-local
         payloads (e.g. highlight windows), where every shard computes
-        the same value for a given doc."""
+        the same value for a given doc.
+
+        The merge runs DRIVER-SIDE: the partials are n_shards * k rows
+        per query at ANY corpus scale (driver-metadata-sized by
+        construction, like the explain/page collects), and collecting
+        them replaces a window stage + an extra broadcast join + one
+        exchange with a pandas sort — measured ~0.5 s/call off every
+        routed heavy query at local[32]."""
+        from pyspark.sql import types as T
+
         margin = self.tie_margin
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        kdf = F.broadcast(
-            self.spark.createDataFrame(
-                queries[["query_id", "k"]], schema="query_id bigint, k int"
-            )
-        )
-        ranked = (
-            partial.drop("rank")
-            .join(kdf, "query_id")
-            .withColumn("rank", F.row_number().over(w))
-        )
         cols = ["query_id", "rank", "doc_id", "score", *extra_cols]
-        if margin > 0.0:
-            # margin semantics (see _topk_select): keep every doc within
-            # the margin of the kth raw score, so a downstream rounded
-            # re-rank is exact.  kth score = min over the raw top-k.
-            wq = Window.partitionBy("query_id")
-            ranked = ranked.withColumn(
-                "_kth",
-                F.min(F.when(F.col("rank") <= F.col("k"), F.col("score"))).over(wq),
-            )
-            keep = (F.col("rank") <= F.col("k")) | (
-                F.col("score") >= F.col("_kth") - F.lit(margin)
-            )
-            return ranked.filter(keep).select(*cols)
-        return ranked.filter(F.col("rank") <= F.col("k")).select(*cols)
+        out_schema = T.StructType([partial.schema[c] for c in cols])
+        pdf = partial.drop("rank").toPandas()
+        k_of = dict(
+            zip(queries["query_id"].astype(int), queries["k"].astype(int))
+        )
+        outs = []
+        for qid, g in pdf.groupby("query_id", sort=True):
+            # shards partition the doc space, so (query_id, doc_id) is
+            # unique and (score desc, doc_id asc) is a total order
+            g = g.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="stable"
+            ).reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+            k = int(k_of.get(int(qid), 0))
+            if margin > 0.0:
+                # margin semantics (see _topk_select): keep every doc
+                # within the margin of the kth raw score, so a
+                # downstream rounded re-rank is exact.  kth score =
+                # min over the raw top-k.
+                top = g[g["rank"] <= k]
+                if len(top):
+                    kth = float(top["score"].min())
+                    keep = (g["rank"] <= k) | (g["score"] >= kth - margin)
+                    g = g[keep]
+            else:
+                g = g[g["rank"] <= k]
+            outs.append(g)
+        if not outs:
+            return self.spark.createDataFrame([], schema=out_schema)
+        out = pd.concat(outs, ignore_index=True)[cols]
+        return self.spark.createDataFrame(out, schema=out_schema)
 
     # -- driver-local serving path -------------------------------------------
 

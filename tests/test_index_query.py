@@ -688,3 +688,49 @@ def test_dis_max_matches_brute(spark, small_corpus, index_dir):
     _assert_rank_identical(
         got[got.query_id == 3].reset_index(drop=True), plain, tol=1e-9
     )
+
+
+def test_dis_max_routes_heavy_to_sharded(spark, small_corpus, index_dir):
+    """ADVICE r5: a heavy (all-hot) dis_max query must route to the
+    doc-range-sharded plan instead of decoding full posting lists in
+    one task / one driver thread, with identical results in every
+    mode; n_shards=1 still forces the one-task paths."""
+    from bilies_go_spark.operators.query import QueryEngine
+
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["the of | water one", "the water | water the"],
+            "k": [10, 10],
+        }
+    )
+    key = ["query_id", "rank"]
+    eng = QueryEngine(spark, index_dir)
+    base = (
+        eng.topk_dis_max(queries, tie_breaker=0.3, n_shards=1)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    forced = QueryEngine(spark, index_dir)
+    forced.SHARD_TARGET_POSTINGS = 1  # every posting volume counts as hot
+    routed = {}
+    orig = QueryEngine.topk_dis_max_sharded
+
+    def spy(self, q, qt, n):
+        routed["n"] = n
+        return orig(self, q, qt, n)
+
+    QueryEngine.topk_dis_max_sharded = spy
+    try:
+        auto = (
+            forced.topk_dis_max(queries, tie_breaker=0.3)
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+        auto_local = (
+            forced.topk_dis_max(queries, tie_breaker=0.3, mode="local")
+            .toPandas().sort_values(key).reset_index(drop=True)
+        )
+    finally:
+        QueryEngine.topk_dis_max_sharded = orig
+    assert routed["n"] > 1  # the sharded twin actually ran
+    pd.testing.assert_frame_equal(auto, base)
+    pd.testing.assert_frame_equal(auto_local, base)
