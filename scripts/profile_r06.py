@@ -144,7 +144,7 @@ def main():
                 F.xxhash64(F.col("doc_id"), F.lit(0x7F4A7C15)), F.col("n_salts")
             ).cast("int"))
             .select("term_bucket", "term", "salt", "doc_id", "tf", "dl"))
-        segments = salted.groupBy("term_bucket", "term", "salt").applyInArrow(
+        segments = salted.groupBy("term_bucket", "term", "salt").applyInPandas(
             _make_encoder(cfg.block_size), schema=cfg.segment_schema)
         t("B2 re-read+join+encode+write", tableio.write_partitioned,
           segments, paths.segments, ["term_bucket"])
@@ -203,8 +203,6 @@ def main():
             return pd.DataFrame([row])
 
         for label, df in [
-            ("B2 arrow", salted.groupBy("term_bucket", "term", "salt")
-             .applyInArrow(_make_encoder(cfg.block_size), schema=cfg.segment_schema)),
             ("B2 pandas", salted.groupBy("term_bucket", "term", "salt")
              .applyInPandas(pandas_encoder, schema=cfg.segment_schema)),
         ]:
