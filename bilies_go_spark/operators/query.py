@@ -7663,16 +7663,13 @@ class QueryEngine:
             ).reset_index(drop=True)
             g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
             k = int(k_of.get(int(qid), 0))
-            if margin > 0.0:
+            if margin > 0.0 and k > 0:
                 # margin semantics (see _topk_select): keep every doc
                 # within the margin of the kth raw score, so a
                 # downstream rounded re-rank is exact.  kth score =
                 # min over the raw top-k.
-                top = g[g["rank"] <= k]
-                if len(top):
-                    kth = float(top["score"].min())
-                    keep = (g["rank"] <= k) | (g["score"] >= kth - margin)
-                    g = g[keep]
+                kth = float(g.loc[g["rank"] <= k, "score"].min())
+                g = g[(g["rank"] <= k) | (g["score"] >= kth - margin)]
             else:
                 g = g[g["rank"] <= k]
             outs.append(g)
